@@ -1,0 +1,65 @@
+"""Crawl configuration (SURVEY §2 settings surface).
+
+Mirrors the reference's settings the engine actually reads
+(ref: scrapy/settings/default_settings.py — defaults quoted per public
+Scrapy 2.11 docs), as one frozen dataclass threaded through every operator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # --- dedupe / fingerprinting -------------------------------------
+    fingerprint_impl: str = "2.7"  # REQUEST_FINGERPRINTER_IMPLEMENTATION
+    dupefilter_debug: bool = False  # DUPEFILTER_DEBUG
+
+    # --- scheduling (ref: pqueues.py, spidermiddlewares/depth.py) ----
+    depth_limit: int = 0  # DEPTH_LIMIT, 0 = unlimited
+    depth_priority: int = 0  # DEPTH_PRIORITY (>0 BFS, <0 DFS-ish)
+    queue_order: str = "lifo"  # memory queue default LIFO ⇒ DFS tie-break
+    downloader_aware: bool = True  # SCHEDULER_PRIORITY_QUEUE choice
+
+    # --- politeness / concurrency (ref: downloader/__init__.py) ------
+    concurrent_requests: int = 16  # CONCURRENT_REQUESTS — global budget/epoch
+    concurrent_per_domain: int = 8  # CONCURRENT_REQUESTS_PER_DOMAIN
+    download_delay_ms: int = 0  # DOWNLOAD_DELAY (ms here; ref uses seconds)
+    randomize_delay: bool = False  # RANDOMIZE_DOWNLOAD_DELAY — off for parity
+
+    # --- robots (ref: downloadermiddlewares/robotstxt.py) ------------
+    robotstxt_obey: bool = True  # ROBOTSTXT_OBEY (ref default False; our
+    # engine defaults on because the north_rule names robots gating)
+    robots_user_agent: str = "*"  # ROBOTSTXT_USER_AGENT fallback
+
+    # --- filters (ref: spidermiddlewares/*) ---------------------------
+    url_length_limit: int = 2083  # URLLENGTH_LIMIT
+    allowed_domains: tuple[str, ...] = ()  # OffsiteMiddleware allow-list
+    deny_extensions: tuple[str, ...] = (
+        # IGNORED_EXTENSIONS flavor (ref: linkextractors/__init__.py ≈L15)
+        "7z", "apk", "avi", "bin", "bmp2", "css", "dmg", "doc", "docx",
+        "exe", "flv", "gz", "iso", "js", "mkv", "mov", "mp3", "mp4",
+        "pdf", "rar", "tar", "wav", "xls", "xlsx", "zip",
+    )
+
+    # --- retries (ref: downloadermiddlewares/retry.py) ----------------
+    retry_times: int = 2  # RETRY_TIMES
+    retry_http_codes: tuple[int, ...] = (500, 502, 503, 504, 522, 524, 408, 429)
+    retry_priority_adjust: int = -1  # RETRY_PRIORITY_ADJUST
+
+    # --- epoch loop (ours; ST1/ST2) -----------------------------------
+    epoch_quantum_ms: int = 1000  # virtual-clock step per epoch
+    epoch_budget: int = 0  # 0 ⇒ derive: concurrent_requests × slots heuristic
+    max_epochs: int = 1000
+    close_itemcount: int = 0  # CLOSESPIDER_ITEMCOUNT, 0 = off
+    close_pagecount: int = 0  # CLOSESPIDER_PAGECOUNT
+
+    # --- physical tuning ----------------------------------------------
+    frontier_partitions: int = 32  # P for pmod(xxhash64(fp), P) layout
+    bloom_fpr: float = 1e-3
+    bloom_enabled: bool = True
+    arrow_batch_urls: int = 200_000  # maxRecordsPerBatch for URL-only stages
+    arrow_batch_images: int = 10_000  # for binary-payload stages
+
+    extra: dict = field(default_factory=dict, compare=False)
