@@ -1,0 +1,78 @@
+"""Sharded bloom prefilter for the url_seen probe (SURVEY §4.3.2; the
+north_rule's "partitioned bloom-filter/cuckoo-filter structure").
+
+Semantics: the bloom holds every fingerprint ever added to url_seen. A
+candidate whose fp misses the bloom is DEFINITELY unseen → it skips the
+exact anti-join entirely. A hit means *maybe seen* → it proceeds to the
+exact join. False positives therefore cost one extra probe and can never
+wrongly drop a URL (the correctness bar is the exact join — SURVEY §2.2 F1).
+
+Layout: ``shards`` bit-arrays indexed by ``fp[:2] % shards`` — the same
+salted-hash bucketing the url_seen table uses, so on a cluster each executor
+holds only its buckets' shards. Hash functions are double-hashing over the
+fp's own SHA1 bytes (the fp IS already a uniform hash — no rehash needed).
+
+Locally the structure lives on the driver and is broadcast per epoch; at
+10^10 keys the build becomes a ``treeAggregate`` of per-partition shards
+(documented cluster path, round 2+).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+class ShardedBloom:
+    def __init__(self, capacity: int, fpr: float = 1e-3, shards: int = 32):
+        self.shards = shards
+        per = max(1024, capacity // shards)
+        # standard sizing: m = -n ln p / (ln 2)^2 ; k = m/n ln 2
+        m = int(-per * math.log(fpr) / (math.log(2) ** 2))
+        self.m = 1 << max(10, m.bit_length())  # power of two per shard
+        self.k = max(1, round(m / per * math.log(2)))
+        self.bits = np.zeros((shards, self.m // 64), dtype=np.uint64)
+        self.n_added = 0
+
+    def _positions(self, fps: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """fps: (n, 20) uint8 → (shard_idx (n,), bit positions (n, k))."""
+        h1 = fps[:, 0:8].copy().view(np.uint64).reshape(-1)
+        h2 = fps[:, 8:16].copy().view(np.uint64).reshape(-1) | np.uint64(1)
+        shard = (fps[:, 0].astype(np.uint64) << np.uint64(8) | fps[:, 1]) % np.uint64(
+            self.shards
+        )
+        ks = np.arange(self.k, dtype=np.uint64)
+        pos = (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.m)
+        return shard.astype(np.int64), pos
+
+    @staticmethod
+    def _fp_matrix(fps: list[bytes]) -> np.ndarray:
+        return np.frombuffer(b"".join(fps), dtype=np.uint8).reshape(-1, 20)
+
+    def add_many(self, fps: list[bytes]) -> None:
+        if not fps:
+            return
+        mat = self._fp_matrix(fps)
+        shard, pos = self._positions(mat)
+        word, bit = pos >> 6, pos & 63
+        for s in np.unique(shard):
+            mask = shard == s
+            np.bitwise_or.at(
+                self.bits[s], word[mask].ravel(), np.uint64(1) << bit[mask].ravel()
+            )
+        self.n_added += len(fps)
+
+    def maybe_contains(self, fps: list[bytes]) -> np.ndarray:
+        """Vectorized membership: bool array, True = maybe seen."""
+        if not fps:
+            return np.zeros(0, dtype=bool)
+        mat = self._fp_matrix(fps)
+        shard, pos = self._positions(mat)
+        word, bit = pos >> 6, pos & 63
+        out = np.ones(len(fps), dtype=bool)
+        for s in np.unique(shard):
+            mask = shard == s
+            hits = (self.bits[s][word[mask]] >> bit[mask]) & np.uint64(1)
+            out[mask] = hits.all(axis=1)
+        return out

@@ -1,0 +1,86 @@
+"""Fingerprint dedupe — the RFPDupeFilter as relational ops (SURVEY §2.2 F1,
+§2.3 J1; ref: scrapy/dupefilters.py::request_seen ≈L55, consulted from
+scheduler.enqueue_request ≈L230).
+
+Three layers, cheapest first:
+
+1. **within-epoch dedupe** — window rank per fp, keep first by
+   ``(parent_seq, url_canon)`` (SEMANTICS 8d),
+2. **bloom prefilter** — definitely-unseen candidates skip the join
+   (operators/bloom.py); never drops,
+3. **exact seen-set check** — the join-order trick that keeps url_seen
+   un-shuffled: instead of ``candidates LEFT ANTI url_seen`` (which would
+   build a hash table over the 10^10-row side), compute
+   ``hits = url_seen LEFT SEMI broadcast(candidates)`` — a streaming scan of
+   url_seen probing a tiny broadcast build — then
+   ``candidates LEFT ANTI broadcast(hits)``. Both joins broadcast the small
+   side; url_seen is never shuffled and its scan is pruned by a pushed
+   ``bucket IN (...)`` predicate over the candidates' fp buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .bloom import ShardedBloom
+
+# url_seen storage bucket count: pmod(xxhash64(fp), BUCKETS) — pinned because
+# it's part of the on-disk layout (manifest-compatible across restarts).
+BUCKETS = 32
+
+
+def with_bucket(df: DataFrame, fp_col: str = "fp") -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(fp_col)), F.lit(BUCKETS)))
+
+
+def dedupe_within_epoch(candidates: DataFrame) -> DataFrame:
+    """Keep one candidate per fp: first by (parent_seq, url_canon)."""
+    w = Window.partitionBy("fp").orderBy(
+        F.asc("parent_seq"), F.asc("url_canon"), F.asc("url")
+    )
+    return (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    url_seen: DataFrame | None,
+    bloom: ShardedBloom | None = None,
+) -> DataFrame:
+    """Exact seen-set dedupe; returns the fresh candidates.
+
+    ``candidates`` is assumed small relative to url_seen (one epoch's link
+    discoveries) — it is the broadcast side of both joins.
+    """
+    if url_seen is None:
+        return candidates
+
+    if bloom is not None and bloom.n_added > 0:
+        # Split by bloom verdict INSIDE a pandas UDF? No — bloom runs on the
+        # driver over the candidate fps, which we need driver-side anyway for
+        # bucket pruning. Candidates are one epoch's batch (bounded); at
+        # cluster scale this becomes an executor-side mapInArrow filter with
+        # broadcast shards (round 2+ path, see bloom.py docstring).
+        rows = candidates.select("fp").collect()
+        fps = [r.fp for r in rows]
+        verdict = bloom.maybe_contains(fps)
+        maybe = [fp for fp, v in zip(fps, verdict) if v]
+        if not maybe:
+            return candidates  # everything definitely unseen — no join at all
+        spark = candidates.sparkSession
+        maybe_df = spark.createDataFrame([(m,) for m in maybe], "fp binary")
+        suspects = candidates.join(F.broadcast(maybe_df), "fp", "left_semi")
+        clean = candidates.join(F.broadcast(maybe_df), "fp", "left_anti")
+    else:
+        suspects, clean = candidates, None
+
+    cand_buckets = [r.bucket for r in with_bucket(suspects).select("bucket").distinct().collect()]
+    seen = with_bucket(url_seen, "fp") if "bucket" not in url_seen.columns else url_seen
+    pruned = seen.filter(F.col("bucket").isin(cand_buckets)) if cand_buckets else seen
+    hits = pruned.join(F.broadcast(suspects.select("fp")), "fp", "left_semi").select("fp")
+    fresh_suspects = suspects.join(F.broadcast(hits), "fp", "left_anti")
+    return fresh_suspects if clean is None else clean.unionByName(fresh_suspects)

@@ -206,7 +206,7 @@ class CrawlSimulator:
                 next_free[slot] = ts + k * int(self.delay.get(slot, cfg.download_delay_ms))
 
             # SEMANTICS 8d-e: within-epoch + seen-set dedupe
-            enq_links.sort(key=lambda r: (r.parent_seq, r.url_canon))
+            enq_links.sort(key=lambda r: (r.parent_seq, r.url_canon, r.url))
             fresh: list[SimRequest] = []
             batch_seen: set[bytes] = set()
             for child in enq_links:

@@ -1,0 +1,428 @@
+"""The crawl engine: watermarked batch-epoch loop (SURVEY §3.1 "Spark
+lifecycle", §2.8; ref: scrapy/core/engine.py::ExecutionEngine ≈L220 — the
+reactor tick becomes one epoch of Spark jobs).
+
+Each epoch implements SEMANTICS.md steps 1-10 as declarative DataFrame
+stages; the driver touches only aggregate counts and the commit manifest —
+never rows (SURVEY §3.4). State lives in a ``Store`` (Iceberg-emulating
+parquet+manifest, or in-memory for benchmarks); every epoch is an atomic
+multi-table commit, so a SIGKILL between epochs resumes identically (ST6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..operators import politeness as pol
+from ..operators.dedupe import anti_join_seen, dedupe_within_epoch, with_bucket
+from ..operators.fetch import attach_payload, synthetic_fetch
+from ..operators.filters import split_links
+from ..operators.parse import extract_links
+from ..operators.pop import rank_and_pop
+from ..operators.robots_gate import apply_robots_gate
+from ..operators.bloom import ShardedBloom
+from ..plans import schemas
+from ..sources.fixtures import CrawlFixture
+from ..sources.store import Store
+from ..functions.udfs import with_request_identity
+
+FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    popped: int
+    denied: int
+    fetched_ok: int
+    retried: int
+    failed: int
+    fresh: int
+    queued_after: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        store: Store,
+        *,
+        url_map: DataFrame,
+        graph: DataFrame,
+        robots: DataFrame,
+        corpus: DataFrame | None = None,
+        pretrim: bool = True,
+        max_slot_concurrency: int | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = store
+        self.url_map = url_map
+        self.graph = graph
+        self.robots = robots
+        self.corpus = corpus
+        self.pretrim = pretrim
+        self.max_cap = max_slot_concurrency or max(cfg.concurrent_per_domain, 8)
+        self.bloom: ShardedBloom | None = (
+            ShardedBloom(capacity=1_000_000, fpr=cfg.bloom_fpr)
+            if cfg.bloom_enabled
+            else None
+        )
+        self.stats_log: list[EpochStats] = []
+
+    # ------------------------------------------------------------------ init
+    @classmethod
+    def from_fixture(
+        cls,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        store: Store,
+        fix: CrawlFixture,
+        **kw,
+    ) -> "CrawlEngine":
+        url_map = spark.createDataFrame(fix.url_map)
+        graph = spark.createDataFrame(fix.graph)
+        robots_pdf = fix.robots.copy()
+        robots = spark.createDataFrame(robots_pdf)
+        corpus = (
+            spark.createDataFrame(fix.corpus, schema=schemas.CORPUS)
+            if fix.corpus is not None
+            else None
+        )
+        eng = cls(
+            spark,
+            cfg,
+            store,
+            url_map=url_map,
+            graph=graph,
+            robots=robots,
+            corpus=corpus,
+            max_slot_concurrency=int(fix.politeness["concurrency"].max()),
+            **kw,
+        )
+        if store.epoch < 0 and not store.scalars.get("bootstrapped"):
+            eng.bootstrap(fix.seeds, fix.politeness)
+        else:
+            eng._rebuild_bloom()
+        return eng
+
+    def bootstrap(self, seeds: pd.DataFrame, politeness: pd.DataFrame) -> None:
+        """Seed the frontier (SEMANTICS 'Seeds'): dont_filter=True, depth 0,
+        seq = file order; seed fps are NOT recorded in url_seen."""
+        pdf = seeds.reset_index(drop=True).copy()
+        pdf["seq"] = pdf.index.astype("int64")
+        raw = self.spark.createDataFrame(
+            pdf[["url", "priority", "seq"]],
+            "url string, priority int, seq long",
+        )
+        frontier = (
+            with_request_identity(raw, impl=self.cfg.fingerprint_impl)
+            .withColumn("depth", F.lit(0))
+            .withColumn("epoch_added", F.lit(-1))
+            .withColumn("parent_fp", F.lit(None).cast("binary"))
+            .withColumn("status", F.lit("QUEUED"))
+            .withColumn("retries", F.lit(0))
+            .withColumn("dont_filter", F.lit(True))
+            .withColumn("meta_json", F.lit(None).cast("string"))
+            .select(*FRONTIER_COLS)
+        )
+        dom = self.spark.createDataFrame(
+            politeness, "slot string, delay_ms long, concurrency int"
+        ).select(
+            "slot",
+            F.lit(0).cast("long").alias("next_free_at"),
+            "delay_ms",
+            "concurrency",
+            F.lit(None).cast("double").alias("latency_ema"),
+            F.lit(None).cast("int").alias("robots_epoch"),
+        )
+        url_seen = self.spark.createDataFrame([], schemas.URL_SEEN).transform(
+            lambda d: with_bucket(d)
+        )
+        self.store.commit(
+            -1,
+            replace={"frontier": frontier, "domain_state": dom, "url_seen": url_seen},
+            append={},
+            scalars={
+                "bootstrapped": True,
+                "next_seq": len(pdf),
+                "pages": 0,
+                "items": 0,
+            },
+        )
+
+    def _rebuild_bloom(self) -> None:
+        """Resume path: re-populate the bloom from the committed url_seen
+        (at cluster scale: per-partition rebuild from the Iceberg snapshot,
+        SURVEY §4.3.2; locally a bounded collect)."""
+        if self.bloom is None:
+            return
+        seen = self.store.read("url_seen")
+        if seen is not None:
+            fps = [r.fp for r in seen.select("fp").collect()]
+            self.bloom.add_many(fps)
+
+    # ------------------------------------------------------------------ run
+    def run(self, max_epochs: int | None = None) -> list[EpochStats]:
+        cfg = self.cfg
+        limit = max_epochs if max_epochs is not None else cfg.max_epochs
+        start = self.store.epoch + 1
+        for e in range(start, start + limit):
+            stats = self.run_epoch(e)
+            self.stats_log.append(stats)
+            sc = self.store.scalars
+            if stats.queued_after == 0:
+                break
+            if cfg.close_itemcount and sc["items"] >= cfg.close_itemcount:
+                break
+            if cfg.close_pagecount and sc["pages"] >= cfg.close_pagecount:
+                break
+        return self.stats_log
+
+    # ------------------------------------------------------------- one epoch
+    def run_epoch(self, e: int) -> EpochStats:
+        cfg, spark = self.cfg, self.spark
+        ts = e * cfg.epoch_quantum_ms
+        budget = cfg.epoch_budget or cfg.concurrent_requests
+        frontier = self.store.read("frontier")
+        dom = self.store.read("domain_state")
+        url_seen = self.store.read("url_seen")
+        next_seq = int(self.store.scalars["next_seq"])
+
+        # SEMANTICS 1: politeness eligibility (join with per-slot state)
+        elig = frontier.join(F.broadcast(dom), "slot", "left").withColumn(
+            "next_free_at", F.coalesce(F.col("next_free_at"), F.lit(0))
+        )
+        e0 = elig.filter(F.col("next_free_at") <= ts)
+
+        # SEMANTICS 2: robots discovery (one-epoch wait for unknown domains)
+        empty_sel = spark.createDataFrame([], "slot string")
+        if cfg.robotstxt_obey:
+            new_domains = e0.filter(F.col("robots_epoch").isNull()).select("slot").distinct()
+            poppable = e0.filter(
+                F.col("robots_epoch").isNotNull() & (F.col("robots_epoch") < e)
+            )
+        else:
+            new_domains = empty_sel
+            poppable = e0
+
+        # SEMANTICS 3: robots gate
+        if cfg.robotstxt_obey:
+            allowed, denied = apply_robots_gate(poppable, self.robots, cfg)
+            denied = denied.select("seq", "fp").cache()
+            n_denied = denied.count()
+        else:
+            allowed, denied, n_denied = poppable, None, 0
+
+        # SEMANTICS 4: pop
+        conc_default = F.lit(cfg.concurrent_per_domain)
+        allowed = allowed.withColumn(
+            "concurrency", F.coalesce(F.col("concurrency"), conc_default)
+        )
+        popped = rank_and_pop(
+            allowed,
+            cfg,
+            budget,
+            pretrim_cap=self.max_cap if self.pretrim else None,
+        )
+        popped = popped.select(*FRONTIER_COLS, "slot_rank", "rank").cache()
+        n_popped = popped.count()
+
+        # SEMANTICS 5: fetch (+ lineage partition id)
+        fetched = (
+            synthetic_fetch(popped, self.url_map, cfg, ts)
+            .withColumn("partition_id", F.spark_partition_id())
+            .cache()
+        )
+        retryable = F.col("status").isin(list(cfg.retry_http_codes))
+        outcome = (
+            F.when(F.col("status") == 200, F.lit("done"))
+            .when(retryable & (F.col("retries") < cfg.retry_times), F.lit("retry"))
+            .otherwise(F.lit("failed"))
+        )
+        fetched = fetched.withColumn("outcome", outcome)
+        outcome_counts = {
+            (r["status"], r["outcome"]): r["n"]
+            for r in fetched.groupBy("status", "outcome")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_ok = sum(v for (s, o), v in outcome_counts.items() if o == "done")
+        n_retry = sum(v for (s, o), v in outcome_counts.items() if o == "retry")
+        n_failed = sum(v for (s, o), v in outcome_counts.items() if o == "failed")
+
+        done = fetched.filter(F.col("outcome") == "done")
+
+        # SEMANTICS 6: politeness watermark update
+        pops_per_slot = popped.groupBy("slot").agg(F.count(F.lit(1)).alias("k"))
+        dom_next = pol.update_next_free(
+            pol.mark_robots_fetched(dom, new_domains, e) if cfg.robotstxt_obey else dom,
+            pops_per_slot,
+            ts,
+        )
+
+        # SEMANTICS 7-8: links pipeline
+        links_raw = extract_links(done, self.graph, cfg)
+        kept, drop_counts_df = split_links(links_raw, cfg)
+        drop_counts = {r["drop_reason"]: r["n"] for r in drop_counts_df.collect()}
+        candidates = (
+            with_request_identity(kept, impl=cfg.fingerprint_impl)
+            .cache()
+        )
+        n_candidates = candidates.count()
+        batch_unique = dedupe_within_epoch(candidates)
+        fresh = anti_join_seen(batch_unique, url_seen, self.bloom).cache()
+        n_fresh = fresh.count()
+        n_dupes = n_candidates - n_fresh
+
+        # retries (SEMANTICS 7): dont_filter=True, priority adjusted
+        retries = (
+            fetched.filter(F.col("outcome") == "retry")
+            .select(
+                F.lit(0).alias("kind"),
+                F.col("seq").alias("parent_seq"),
+                F.col("parent_fp"),
+                F.col("fp"),
+                F.col("url"),
+                F.col("url_canon"),
+                F.col("domain"),
+                F.col("slot"),
+                F.col("depth"),
+                (F.col("priority") + cfg.retry_priority_adjust).cast("int").alias("priority"),
+                (F.col("retries") + 1).alias("retries"),
+                F.lit(True).alias("dont_filter"),
+            )
+        )
+        fresh_links = fresh.select(
+            F.lit(1).alias("kind"),
+            "parent_seq",
+            "parent_fp",
+            "fp",
+            "url",
+            "url_canon",
+            "domain",
+            "slot",
+            "depth",
+            "priority",
+            F.lit(0).alias("retries"),
+            F.lit(False).alias("dont_filter"),
+        )
+
+        # SEMANTICS 8f: deterministic seq assignment on the (small) batch
+        w_seq = Window.orderBy("kind", "parent_seq", "url_canon", "url")
+        new_rows = (
+            retries.unionByName(fresh_links)
+            .withColumn("seq", (F.row_number().over(w_seq) + F.lit(next_seq - 1)).cast("long"))
+            .withColumn("epoch_added", F.lit(e))
+            .withColumn("status", F.lit("QUEUED"))
+            .withColumn("meta_json", F.lit(None).cast("string"))
+            .select(*FRONTIER_COLS)
+        )
+        n_new = n_retry + n_fresh
+
+        # frontier': remove popped + denied, add new
+        frontier_next = frontier.join(
+            F.broadcast(popped.select("seq")), "seq", "left_anti"
+        )
+        if denied is not None and n_denied:
+            frontier_next = frontier_next.join(
+                F.broadcast(denied.select("seq")), "seq", "left_anti"
+            )
+        frontier_next = frontier_next.select(*FRONTIER_COLS).unionByName(new_rows)
+
+        # logs
+        pop_log = popped.select(
+            F.lit(e).alias("epoch"), "rank", "fp", "url_canon", "slot"
+        )
+        fetch_log = fetched.select(
+            "fp",
+            "url_canon",
+            "slot",
+            "image_id",
+            "status",
+            F.lit(None).cast("binary").alias("bytes"),
+            F.lit(None).cast("string").alias("caption"),
+            "fetched_at",
+            "latency_ms",
+            F.lit(e).alias("epoch"),
+            "partition_id",
+        )
+        items = attach_payload(
+            done.select("image_id", "fp"), self.corpus
+        ).withColumn("epoch", F.lit(e)).select(*[f.name for f in schemas.ITEMS.fields])
+
+        seen_append = with_bucket(
+            fresh.select("fp", F.lit(e).alias("epoch_added"))
+        )
+        if self.bloom is not None and n_fresh:
+            self.bloom.add_many([r.fp for r in fresh.select("fp").collect()])
+
+        # metrics (driver-side aggregate rows + per-partition lineage)
+        part_rows = [
+            (e, int(r["partition_id"]), "fetch/partition_rows", float(r["n"]))
+            for r in fetched.groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        mrows = [
+            (e, -1, "downloader/request_count", float(n_popped)),
+            (e, -1, "scheduler/enqueued", float(n_new)),
+            (e, -1, "dupefilter/filtered", float(n_dupes)),
+            (e, -1, "robotstxt/forbidden", float(n_denied)),
+            (e, -1, "item_scraped_count", float(n_ok)),
+            (e, -1, "retry/count", float(n_retry)),
+        ]
+        for reason, n in drop_counts.items():
+            mrows.append((e, -1, f"{reason}/filtered", float(n)))
+        for (status, _o), n in outcome_counts.items():
+            mrows.append(
+                (e, -1, f"downloader/response_status_count/{status}", float(n))
+            )
+        mrows += part_rows
+        metrics_df = self.spark.createDataFrame(
+            [r for r in mrows if r[3] > 0], schemas.METRICS
+        )
+
+        # SEMANTICS 10: atomic commit
+        scalars = dict(self.store.scalars)
+        scalars["next_seq"] = next_seq + n_new
+        scalars["pages"] = scalars.get("pages", 0) + n_popped
+        scalars["items"] = scalars.get("items", 0) + n_ok
+        appends = {}
+        if n_popped:
+            appends["pop_log"] = pop_log
+            appends["fetch_log"] = fetch_log
+        if n_ok:
+            appends["items"] = items
+        if n_fresh:
+            appends["url_seen"] = seen_append
+        if mrows:
+            appends["metrics"] = metrics_df
+        frontier_next = frontier_next.cache()
+        queued_after = frontier_next.count()
+        self.store.commit(
+            e,
+            replace={"frontier": frontier_next, "domain_state": dom_next},
+            append=appends,
+            scalars=scalars,
+        )
+        for df in (popped, fetched, candidates, fresh, frontier_next):
+            df.unpersist()
+        if denied is not None:
+            denied.unpersist()
+        return EpochStats(
+            epoch=e,
+            popped=n_popped,
+            denied=n_denied,
+            fetched_ok=n_ok,
+            retried=n_retry,
+            failed=n_failed,
+            fresh=n_fresh,
+            queued_after=queued_after,
+        )
