@@ -1,38 +1,645 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator family from SURVEY.md §2 (crawl
+scheduling semantics re-expressed relationally over the driver's star
+schema) or a training-data pipeline operator (dedup / similarity / text
+analysis over documents+embeddings). ``oracle_sql()`` carries the DuckDB
+equivalent for everything SQL-expressible; hash-sketch and UDF-identity
+ops are rows-only (weaker check) and covered by unit tests instead.
+
+Column aliases match 1:1 between Spark and SQL (the driver sorts columns
+by name before value-hashing). All float aggregates are rounded so both
+engines agree at the last digit; thresholds apply to rounded values so
+boundary rows agree too.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _order_priority(col):
+    # '1-URGENT' → 5 ... '5-LOW' → 1: higher pops first (Request.priority)
+    return (F.lit(6) - F.substring(col, 1, 1).cast("int")).alias("priority")
+
+
+# =====================================================================
+# Crawl-scheduling operators over the star schema (SURVEY §2.5/2.3/2.2)
+# =====================================================================
+
+def q_frontier_pop_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 ScrapyPriorityQueue: global rank by (priority desc, seq asc),
+    top-100 = epoch pop (ref: scrapy/pqueues.py::ScrapyPriorityQueue ≈L40)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("priority"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_orderkey", _order_priority(F.col("o_orderpriority")))
+        .withColumn("pop_rank", F.row_number().over(w))
+        .filter(F.col("pop_rank") <= 100)
+    )
+
+
+def q_frontier_pop_per_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 DownloaderAwarePriorityQueue: per-slot (customer≙domain) rank,
+    capacity cap 3 (ref: scrapy/pqueues.py::DownloaderAwarePriorityQueue
+    ≈L150; CONCURRENT_REQUESTS_PER_DOMAIN analog)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("priority"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", _order_priority(F.col("o_orderpriority"))
+        )
+        .withColumn("slot_rank", F.row_number().over(w))
+        .filter(F.col("slot_rank") <= 3)
+    )
+
+
+def q_dupefilter_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/F1 RFPDupeFilter as LEFT ANTI hash join: candidates (customer)
+    not in the seen-set (custkeys with a Finished order ≙ already-fetched
+    fingerprints) (ref: scrapy/dupefilters.py ≈L55)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    seen = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(seen, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_robots_broadcast_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/F2 robots gate as broadcast dim join + disallow filter: customers
+    joined through nation→region (robots table ≪ frontier), region 'ASIA'
+    disallowed (ref: downloadermiddlewares/robotstxt.py ≈L30)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        customer.join(dim, customer.c_nationkey == dim.n_nationkey)
+        .filter(F.col("r_name") != "ASIA")
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_depth_priority_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/W3/A3 DEPTH_PRIORITY + depth limit + histogram: depth ≙
+    l_linenumber, DEPTH_LIMIT=4, DEPTH_PRIORITY=1 ⇒ eff_priority=-depth
+    (ref: spidermiddlewares/depth.py ≈L20-L55)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_linenumber").alias("depth"))
+        .filter(F.col("depth") <= 4)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .withColumn("eff_priority", -F.col("depth"))
+    )
+
+
+def q_politeness_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 politeness watermark: slot ≙ user_id, next_free_at = first event
+    + (user_id mod 60) minutes download-delay; count eligible events per
+    slot (ref: core/downloader/__init__.py::_process_queue ≈L155)."""
+    ev = _t(spark, sf_dir, "events")
+    nf = ev.groupBy("user_id").agg(
+        F.expr("min(ts) + make_interval(0,0,0,0,0, cast(user_id % 60 as int),0)")
+        .alias("next_free_at")
+    )
+    return (
+        ev.join(nf, "user_id")
+        .filter(F.col("ts") >= F.col("next_free_at"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_eligible"))
+    )
+
+
+def q_retry_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4/W4 retry semantics: error events per user ≙ retry count;
+    ≤RETRY_TIMES(2) → RETRY else FAILED; retry priority adjust −1 per
+    attempt (ref: downloadermiddlewares/retry.py ≈L60,L100)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .select(
+            "user_id",
+            "n_errors",
+            F.when(F.col("n_errors") <= 2, F.lit("RETRY"))
+            .otherwise(F.lit("FAILED"))
+            .alias("final_status"),
+            (-F.least(F.col("n_errors"), F.lit(3))).alias("priority_adjust"),
+        )
+    )
+
+
+def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 stats counters as grouped agg (MemoryStatsCollector analog over
+    returnflag/linestatus; ref: scrapy/statscollectors.py ≈L30)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 epoch budget top-k (TakeOrderedAndProject, never a global sort
+    of the frontier; ref: engine pulling while needs_backout ≈L240)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .withColumn("rk", F.row_number().over(w.orderBy(F.desc("totalprice"), F.asc("o_orderkey"))))
+        .filter(F.col("rk") <= 50)
+    )
+
+
+def q_union_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 union of link batches + dedupe (unionByName + dropDuplicates;
+    ref: engine.crawl per yielded request ≈L380)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    u = orders.select(F.col("o_custkey").alias("custkey")).unionByName(
+        customer.select(F.col("c_custkey").alias("custkey"))
+    )
+    return u.dropDuplicates(["custkey"])
+
+
+def q_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 epochs as tumbling windows: hourly event counts per type."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_latency_ema_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 AutoThrottle per-slot latency aggregate (avg latency feeding the
+    delay update; ref: extensions/throttle.py::_adjust_delay ≈L55)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.avg("value"), 4).alias("avg_latency"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+def q_offsite_urllength_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F6 offsite + URL-length gates: allowed-source regex + length cap
+    (ref: spidermiddlewares/offsite.py ≈L30, urllength.py ≈L15)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("source").rlike("^src[0-3]$") & (F.col("n_chars") <= 300)
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_httperror_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 HttpErrorMiddleware: only 'successful' responses reach the parse
+    stage (ref: spidermiddlewares/httperror.py ≈L25)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") != "error") & F.col("value").between(10, 90))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_ok"))
+    )
+
+
+# =====================================================================
+# Training-data pipeline operators (documents / embeddings)
+# =====================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_spark.datapipe.dedup import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_spark.datapipe.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_spark.datapipe.similarity import cosine_pairs
+
+    return cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_spark.datapipe.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_spark.datapipe.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_spark.datapipe.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_spark.datapipe.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+# ----- rows-only (hash sketches / UDF identity — not SQL-expressible) ----
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_spark.datapipe.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_spark.datapipe.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_spark.datapipe.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), k=5, nbits=8)
+
+
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scrapy_spark.datapipe.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    return fps.select(
+        "doc_id", F.explode("fingerprints").alias("fingerprint")
+    )
+
+
+def q_request_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2: the real canonicalize+SHA1-fingerprint UDFs over synthetic
+    URLs derived from events (ref: scrapy/utils/request.py::fingerprint
+    ≈L75, w3lib canonicalize_url)."""
+    from scrapy_spark.functions.udfs import with_request_identity
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("https://site-"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".example.com/page/"),
+            (F.col("event_id") % 400).cast("string"),
+            F.lit("?b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    out = with_request_identity(urls)
+    return out.select("event_id", "url_canon", "domain", F.hex("fp").alias("fp_hex"))
+
+
+def q_crawl_frontier_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full frontier pipeline on a synthetic frontier built
+    from events — identity UDFs → within-batch dedupe → anti-join seen →
+    per-slot capacity rank → downloader-aware global budget (SURVEY §3.1
+    steps 1-2, §2.5 W1/W2)."""
+    from scrapy_spark.functions.udfs import with_request_identity
+
+    ev = _t(spark, sf_dir, "events")
+    reqs = ev.select(
+        F.col("event_id").alias("seq"),
+        F.concat(
+            F.lit("HTTPS://Site-"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".Example.COM/page/"),
+            (F.col("event_id") % 400).cast("string"),
+        ).alias("url"),
+        (F.col("value").cast("int") % 10).alias("priority"),
+        F.col("event_type"),
+    )
+    ided = with_request_identity(reqs)
+    # seen-set: URLs already fetched (purchase events), exact anti-join J1
+    seen = ided.filter(F.col("event_type") == "purchase").select("fp").distinct()
+    candidates = (
+        ided.filter(F.col("event_type") != "purchase")
+        # within-batch dedupe: keep lowest seq per fp (J5)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy(F.asc("seq"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .join(seen, "fp", "left_anti")
+    )
+    # W2 pop: capacity 4 per slot, downloader-aware order, budget 200
+    w_slot = Window.partitionBy("slot").orderBy(F.desc("priority"), F.asc("seq"))
+    ranked = candidates.withColumn("slot_rank", F.row_number().over(w_slot)).filter(
+        F.col("slot_rank") <= 4
+    )
+    order = [F.asc("slot_rank"), F.desc("priority"), F.asc("seq"), F.asc("slot")]
+    popped = ranked.orderBy(*order).limit(200)
+    w_global = Window.orderBy(*order)
+    return popped.withColumn("pop_rank", F.row_number().over(w_global)).select(
+        "pop_rank", "seq", "url_canon", "slot", "priority", "slot_rank"
+    )
+
+
+def q_image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12/S10 multimodal plumbing: deterministic synthetic corpus in the
+    input_hint shape (image_id, bytes, …) → mapInPandas decode → typed
+    metadata + min-size gate (ref: pipelines/images.py ≈L60,L130)."""
+    from scrapy_spark.datapipe.multimodal import decode_image_meta, min_size_filter
+    from scrapy_spark.sources.corpus import synth_corpus_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(200)
+    corpus = synth_corpus_df(docs, id_col="doc_id")
+    return min_size_filter(decode_image_meta(corpus), min_w=8, min_h=8)
+
+
+# =====================================================================
+# contract surface
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_crawl_frontier_pop(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # crawl scheduling semantics (SURVEY §2)
+        "frontier_pop_global": q_frontier_pop_global,
+        "frontier_pop_per_slot": q_frontier_pop_per_slot,
+        "dupefilter_anti_join": q_dupefilter_anti_join,
+        "robots_broadcast_gate": q_robots_broadcast_gate,
+        "depth_priority_histogram": q_depth_priority_histogram,
+        "politeness_eligibility": q_politeness_eligibility,
+        "retry_outcomes": q_retry_outcomes,
+        "stats_rollup": q_stats_rollup,
+        "topk_orders": q_topk_orders,
+        "union_dedupe": q_union_dedupe,
+        "tumbling_window_counts": q_tumbling_window_counts,
+        "latency_ema_inputs": q_latency_ema_inputs,
+        "offsite_urllength_filter": q_offsite_urllength_filter,
+        "httperror_filter": q_httperror_filter,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "knn_cosine_topk": q_knn_cosine_topk,
+        "text_token_stats": q_text_token_stats,
+        "text_quality_score": q_text_quality_score,
+        "text_lang_id": q_text_lang_id,
+        # rows-only (sketches / UDF identity)
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+        "request_identity": q_request_identity,
+        "crawl_frontier_pop": q_crawl_frontier_pop,
+        "image_decode_meta": q_image_decode_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "frontier_pop_global": """
+            SELECT o_orderkey, priority, pop_rank FROM (
+              SELECT o_orderkey,
+                     6 - CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority,
+                     ROW_NUMBER() OVER (
+                       ORDER BY 6 - CAST(substr(o_orderpriority, 1, 1) AS INT) DESC,
+                                o_orderkey ASC) AS pop_rank
+              FROM orders) WHERE pop_rank <= 100
+        """,
+        "frontier_pop_per_slot": """
+            SELECT o_orderkey, o_custkey, priority, slot_rank FROM (
+              SELECT o_orderkey, o_custkey,
+                     6 - CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY 6 - CAST(substr(o_orderpriority, 1, 1) AS INT) DESC,
+                                o_orderkey ASC) AS slot_rank
+              FROM orders) WHERE slot_rank <= 3
+        """,
+        "dupefilter_anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
+        """,
+        "robots_broadcast_gate": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(avg(c_acctbal), 4) AS avg_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r_name <> 'ASIA'
+            GROUP BY r_name
+        """,
+        "depth_priority_histogram": """
+            SELECT depth, count(*) AS n_requests, -depth AS eff_priority
+            FROM (SELECT l_linenumber AS depth FROM lineitem)
+            WHERE depth <= 4 GROUP BY depth
+        """,
+        "politeness_eligibility": """
+            WITH nf AS (
+              SELECT user_id,
+                     min(ts) + (user_id % 60) * INTERVAL 1 MINUTE AS next_free_at
+              FROM events GROUP BY user_id)
+            SELECT e.user_id, count(*) AS n_eligible
+            FROM events e JOIN nf ON e.user_id = nf.user_id
+            WHERE e.ts >= nf.next_free_at
+            GROUP BY e.user_id
+        """,
+        "retry_outcomes": """
+            SELECT user_id, n_errors,
+                   CASE WHEN n_errors <= 2 THEN 'RETRY' ELSE 'FAILED' END AS final_status,
+                   -least(n_errors, 3) AS priority_adjust
+            FROM (SELECT user_id, count(*) AS n_errors FROM events
+                  WHERE event_type = 'error' GROUP BY user_id)
+        """,
+        "stats_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   round(avg(l_extendedprice), 2) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, totalprice, rk FROM (
+              SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+                     ROW_NUMBER() OVER (ORDER BY round(o_totalprice, 2) DESC,
+                                        o_orderkey ASC) AS rk
+              FROM orders) WHERE rk <= 50
+        """,
+        "union_dedupe": """
+            SELECT DISTINCT custkey FROM (
+              SELECT o_custkey AS custkey FROM orders
+              UNION ALL
+              SELECT c_custkey AS custkey FROM customer)
+        """,
+        "tumbling_window_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "latency_ema_inputs": """
+            SELECT user_id, round(avg(value), 4) AS avg_latency,
+                   count(*) AS n_samples
+            FROM events GROUP BY user_id
+        """,
+        "offsite_urllength_filter": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE regexp_matches(source, '^src[0-3]$') AND n_chars <= 300
+        """,
+        "httperror_filter": """
+            SELECT event_type, count(*) AS n_ok FROM events
+            WHERE event_type <> 'error' AND value BETWEEN 10 AND 90
+            GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(len(t) - 2),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+              FROM toks WHERE len(t) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, common,
+                   round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+            FROM pairs
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 4) >= 0.5
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT id_a, id_b, cos_sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                       4) AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cos_sim >= 0.4
+        """,
+        "knn_cosine_topk": """
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(
+                       list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                       4) AS cos_sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(
+                         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                         4) DESC, c.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 10)
+            WHERE rank <= 5
+        """,
+        "text_token_stats": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+            SELECT doc_id, len(t) AS n_tokens,
+                   len(list_distinct(t)) AS n_uniq_tokens,
+                   round(CASE WHEN len(t) > 0
+                         THEN len(list_distinct(t)) / len(t) ELSE 0.0 END, 4) AS ttr,
+                   round(CASE WHEN len(t) > 0
+                         THEN list_sum(list_transform(t, x -> length(x))) / len(t)
+                         ELSE 0.0 END, 4) AS avg_token_len
+            FROM toks
+        """,
+        "text_quality_score": f"""
+            WITH s AS (
+              SELECT doc_id, {_TOKS} AS t,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+              FROM documents),
+            m AS (
+              SELECT doc_id, len(t) AS n_tokens,
+                     CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END
+                       AS punct_ratio,
+                     CASE WHEN len(t) > 0
+                          THEN len(list_filter(t,
+                            x -> x IN ('the','a','of','and','to','is'))) / len(t)
+                          ELSE 0.0 END AS stop_ratio
+              FROM s)
+            SELECT doc_id, n_tokens, round(punct_ratio, 4) AS punct_ratio,
+                   round(stop_ratio, 4) AS stop_ratio,
+                   round(0.3 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * (1.0 - punct_ratio)
+                       + 0.4 * least(stop_ratio * 5.0, 1.0), 4) AS quality
+            FROM m
+        """,
+        "text_lang_id": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sc AS (
+              SELECT doc_id,
+                len(list_filter(t, x -> x IN ('the','a','of','and','to','is'))) AS score_en,
+                len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht'))) AS score_de,
+                len(list_filter(t, x -> x IN ('le','la','les','et','est','une'))) AS score_fr,
+                len(list_filter(t, x -> x IN ('el','los','las','es','una','que'))) AS score_es
+              FROM toks)
+            SELECT doc_id,
+                   CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                        WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                        WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                        WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang,
+                   score_en, score_de, score_fr, score_es
+            FROM sc
+        """,
+    }

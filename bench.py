@@ -1,0 +1,153 @@
+"""Benchmark harness (driver contract).
+
+Runs (a) the crawl engine for a few epochs on the 1M-URL Zipf-skewed
+synthetic frontier — the BASELINE.json headline: URLs scheduled+deduped
+per second — and (b) the headline operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), each executed to
+a noop sink so the full plan runs without driver collect.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "extra": {...}}
+
+Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
+SPARK_GRAFT_BENCH_EPOCHS (default 6), SPARK_GRAFT_BENCH_SCALE
+(default "bench" = 1M URLs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "frontier_pop_global",
+    "frontier_pop_per_slot",
+    "dupefilter_anti_join",
+    "robots_broadcast_gate",
+    "politeness_eligibility",
+    "stats_rollup",
+    "topk_orders",
+    "tumbling_window_counts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_near_dup_pairs",
+    "knn_cosine_topk",
+    "ann_lsh_topk",
+    "text_quality_score",
+    "text_lang_id",
+    "doc_winnow_fingerprints",
+    "request_identity",
+    "crawl_frontier_pop",
+    "image_decode_meta",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scrapy-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        .getOrCreate()
+    )
+
+
+def bench_crawl_engine(spark, scale: str, epochs: int) -> dict:
+    """Epoch-loop throughput on the Zipf frontier (robots + politeness +
+    dedupe on, URL-only hot path). Throughput counts URLs that crossed
+    the scheduling core: popped (ranked+fetched) + dedupe candidates."""
+    from scrapy_spark.config import CrawlConfig
+    from scrapy_spark.sources.fixtures import gen_crawl_fixture
+    from scrapy_spark.sources.store import MemoryStore
+    from scrapy_spark.streaming.engine import CrawlEngine
+
+    fix = gen_crawl_fixture(scale, seed=42, with_payload=False)
+    cfg = CrawlConfig(
+        epoch_budget=4096,
+        max_epochs=epochs,
+        allowed_domains=("example",),
+        depth_limit=6,
+        depth_priority=1,
+        queue_order="fifo",
+    )
+    store = MemoryStore(spark)
+    t0 = time.time()
+    eng = CrawlEngine.from_fixture(spark, cfg, store, fix)
+    stats = eng.run(max_epochs=epochs)
+    elapsed = time.time() - t0
+    popped = sum(s.popped for s in stats)
+    fresh = sum(s.fresh for s in stats)
+    metrics = store.read("metrics").toPandas()
+    dupes = float(
+        metrics.loc[metrics["key"] == "dupefilter/filtered", "value"].sum()
+    )
+    processed = popped + fresh + int(dupes)
+    return {
+        "elapsed_sec": round(elapsed, 2),
+        "epochs": len(stats),
+        "urls_popped": popped,
+        "urls_fresh": fresh,
+        "urls_dup_filtered": int(dupes),
+        "urls_per_sec": round(processed / elapsed, 1),
+    }
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "6"))
+    scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "bench")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    import __spark_entry__ as entry_mod
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qtimes: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    crawl = bench_crawl_engine(spark, scale, epochs)
+    qtimes["crawl_epochs"] = crawl["elapsed_sec"]
+
+    total = round(sum(qtimes.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (operator queries + crawl epochs)",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "extra": {
+                    "cpus": cpus,
+                    "frontier_scale": scale,
+                    **{f"crawl_{k}": v for k, v in crawl.items()},
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

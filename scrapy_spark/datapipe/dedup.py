@@ -1,0 +1,307 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale shape (100 TB corpus, ~10^10 docs):
+
+- exact: one hash-aggregate on md5(text) — map-side partial agg, single
+  shuffle on the 32-hex-char key, no skew (hash keys are uniform).
+- n-gram Jaccard: inverted-index self-join on shingle (explode → join →
+  count), the textbook candidate-pair plan; shingle keys are uniform-ish,
+  hot shingles are broken by AQE skew-join. Exact, but O(sum of posting
+  list²) — use MinHash LSH first at full scale.
+- MinHash+LSH: signatures via one Arrow-batched numpy UDF (k universal
+  hashes over md5-based shingle hashes), then bands → bucket join. Only
+  the tiny candidate set pays the exact-verify cost.
+- SimHash: 64-bit sketch via the same UDF shape; near-dup pairs via
+  4×16-bit band join (pigeonhole: hamming ≤3 ⇒ some band equal) +
+  bit_count(xor) ≤ 3 filter, all JVM-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .text import TOKEN_RE, tokens
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ------------------------------------------------------------------ exact
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical texts by md5; keep the smallest id per group.
+    Returns (content_hash, keep_id, n_copies) — one row per distinct text."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------- shingling
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc, entirely JVM-side:
+    tokens → transform(sequence(...)) → array_distinct → explode."""
+    t = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        df.filter(F.size(t) >= n)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(grams)).alias("shingle"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+    Returns (id_a, id_b, common, jaccard) with id_a < id_b."""
+    sh = shingles(df, id_col, text_col, n)
+    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = cnt.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = cnt.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------- minhash
+def _hash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(object)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(object)
+    return a, b
+
+
+def _shingle_set(text: str, n: int) -> list[int]:
+    import re
+
+    toks = re.findall(TOKEN_RE, text.lower())
+    if len(toks) < n:
+        return []
+    seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return [
+        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in seen
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: sig_i = min over shingles s
+    of (a_i*h(s)+b_i) mod (2^61-1); h = md5-derived 64-bit. Arrow-batched,
+    numpy-vectorized over the (hashes × shingles) grid per doc."""
+    a, b = _hash_params(num_hashes, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            hs = _shingle_set(txt or "", shingle_n)
+            if not hs:
+                out.append([int(_MERSENNE)] * num_hashes)
+                continue
+            s = np.array(hs, dtype=object)  # python ints: exact 61-bit modmul
+            sig = [int(min((ai * s + bi) % _MERSENNE)) for ai, bi in zip(a, b)]
+            out.append(sig)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash LSH candidate pairs + signature-estimated Jaccard.
+
+    bands×rows = num_hashes; a pair lands in a bucket iff one band of the
+    signature matches exactly (r=4, b=16 → ~0.5 threshold S-curve). The
+    bucket join touches only (band_id, band_hash) — at 10^10 docs this is
+    the only shuffle and its key space is uniform by construction.
+    Returns (id_a, id_b, est_jaccard ≥ threshold).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band_id"),
+                    F.hash(F.slice(F.col("sig"), bi * rows + 1, rows)).alias(
+                        "band_hash"
+                    ),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_id", "band.band_hash")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes)),
+        4,
+    )
+    return (
+        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------- simhash
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over token counts (Charikar sketch): per token, md5→
+    64 bits; v = Σ count·(±1 per bit); bit_j = v_j>0. numpy-vectorized."""
+
+    @pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import re
+
+        out = []
+        for txt in texts:
+            toks = re.findall(TOKEN_RE, (txt or "").lower())
+            if not toks:
+                out.append(0)
+                continue
+            uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+            raw = np.frombuffer(
+                b"".join(hashlib.md5(t.encode()).digest()[:8] for t in uniq),
+                dtype=np.uint8,
+            ).reshape(len(uniq), 8)
+            bits = np.unpackbits(raw, axis=1, bitorder="little")  # (n, 64)
+            v = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
+            val = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(
+                np.int64
+            )[0]
+            out.append(int(val))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via 4×16-bit
+    band blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bands equal),
+    then exact popcount filter — both stages JVM builtins."""
+    sh = simhash64(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("b")
+    ).select(id_col, "simhash", "b.band_id", "b.chunk")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_id", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_id", "chunk"
+    )
+    return (
+        a.join(b, ["band_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+__all__ = [
+    "exact_dup_groups",
+    "shingles",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_near_dups",
+]

@@ -1,0 +1,179 @@
+"""Text analysis over a documents table (doc_id, text, ...).
+
+All tokenization-derived ops use one shared JVM-side token expression so
+Spark results and the DuckDB oracles agree byte-for-byte:
+``regexp_extract_all(lower(text), '[a-z0-9]+')``. No Python in the hot
+path except the winnowing fingerprint sketch (Arrow-batched, numpy).
+
+At 100 TB these are embarrassingly parallel map-only stages: no shuffle,
+filters and projections push to the parquet scan, and every expression is
+whole-stage-codegen eligible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+TOKEN_RE = "[a-z0-9]+"
+NON_PUNCT_RE = "[^.,;:!?]"  # strip these → what's left is the punctuation
+
+# Tiny deterministic stopword profiles for the language-ID heuristic.
+# Order matters: ties break toward the earlier language.
+LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "to", "is"]),
+    ("de", ["der", "die", "das", "und", "ist", "nicht"]),
+    ("fr", ["le", "la", "les", "et", "est", "une"]),
+    ("es", ["el", "los", "las", "es", "una", "que"]),
+]
+EN_STOPWORDS = LANG_PROFILES[0][1]
+
+
+def tokens(col: Column) -> Column:
+    """Lowercase alnum tokens, JVM-side."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token counting: total, distinct, type-token ratio, mean
+    token length — all built-in array functions (no UDF, no shuffle)."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    total_len = F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.round(
+            F.when(n > 0, F.size(F.array_distinct(t)) / n).otherwise(F.lit(0.0)), 4
+        ).alias("ttr"),
+        F.round(
+            F.when(n > 0, total_len / n).otherwise(F.lit(0.0)), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length saturation + low
+    punctuation density + stopword presence (the classic C4/Gopher-style
+    cheap filters, composed deterministically)."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), NON_PUNCT_RE, ""))
+    stop_hits = F.size(
+        F.filter(t, lambda x: x.isin(*EN_STOPWORDS))
+    )
+    len_component = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, stop_hits / n).otherwise(F.lit(0.0))
+    score = F.round(
+        0.3 * len_component + 0.3 * (1.0 - punct_ratio) + 0.4 * F.least(stop_ratio * 5.0, F.lit(1.0)),
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic stopword-profile language ID. Scores each profile by
+    stopword hit count over the token list; argmax with fixed tie-break
+    order (profile order), 'und' when nothing hits."""
+    t = tokens(F.col(text_col))
+
+    def _hits(words: list[str]) -> Column:
+        return F.size(F.filter(t, lambda x: x.isin(*words)))
+
+    scores = {lang: _hits(words) for lang, words in LANG_PROFILES}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # build CASE from last profile to first so earlier profiles win ties
+    for lang, _ in reversed(LANG_PROFILES):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    sel = [F.col(id_col), pred.alias("pred_lang")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang, _ in LANG_PROFILES]
+    return df.select(*sel)
+
+
+# --------------------------------------------------------------- winnowing
+_WINNOW_SCHEMA = T.ArrayType(T.LongType())
+
+
+def _token_hash64(tok: str) -> int:
+    d = hashlib.md5(tok.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "little", signed=True)
+
+
+def _winnow_one(text: str, k: int, w: int) -> list[int]:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    hash every k-gram of tokens, slide a window of w hashes, keep the
+    rightmost minimum per window; return sorted distinct fingerprints."""
+    toks = _winnow_tokenize(text)
+    if len(toks) < k:
+        return []
+    hashes = [
+        _token_hash64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)
+    ]
+    if len(hashes) <= w:
+        return sorted({min(hashes)})
+    out: set[int] = set()
+    for i in range(len(hashes) - w + 1):
+        window = hashes[i : i + w]
+        m = min(window)
+        # rightmost minimum (robust winnowing)
+        idx = len(window) - 1 - window[::-1].index(m)
+        out.add(hashes[i + idx])
+    return sorted(out)
+
+
+def _winnow_tokenize(text: str) -> list[str]:
+    import re
+
+    return re.findall(TOKEN_RE, text.lower())
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Per-doc winnowing fingerprint set as array<long> (Arrow-batched).
+    Two docs sharing any fingerprint share a k-token span — the standard
+    near-dup/plagiarism sketch; downstream candidate pairs = explode +
+    self-join on fingerprint (same shape as dedup.jaccard_pairs)."""
+
+    @pandas_udf(_WINNOW_SCHEMA)
+    def _winnow(texts: pd.Series) -> pd.Series:
+        return pd.Series([_winnow_one(t or "", k, w) for t in texts])
+
+    return df.select(
+        F.col(id_col), _winnow(F.col(text_col)).alias("fingerprints")
+    )
+
+
+__all__ = [
+    "tokens",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "winnow_fingerprints",
+    "LANG_PROFILES",
+    "EN_STOPWORDS",
+    "TOKEN_RE",
+]
