@@ -239,6 +239,30 @@ def q_httperror_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data pipeline operators (documents / embeddings)
 # =====================================================================
 
+def q_httpcache_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/J6 HTTP-cache replay shape (ref: extensions/httpcache.py ≈L200):
+    'popped batch' = distinct users with a view event; cache = latest
+    purchase per user (row_number desc over the log) replayed via inner
+    join; users without a purchase are the misses (anti-join → fetch)."""
+    ev = _t(spark, sf_dir, "events")
+    popped = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    cached = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("cached_event_id"))
+    )
+    hits = popped.join(cached, "user_id", "inner").select(
+        "user_id", "cached_event_id", F.lit("hit").alias("outcome")
+    )
+    misses = popped.join(cached, "user_id", "left_anti").select(
+        "user_id", F.lit(None).cast("long").alias("cached_event_id"),
+        F.lit("miss").alias("outcome"),
+    )
+    return hits.unionByName(misses)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_spark.datapipe.dedup import exact_dup_groups
 
@@ -352,10 +376,19 @@ def q_crawl_frontier_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
     )
     ided = with_request_identity(reqs)
-    # seen-set: URLs already fetched (purchase events), exact anti-join J1
-    seen = ided.filter(F.col("event_type") == "purchase").select("fp").distinct()
+    # seen-set J1 as a per-fp window instead of a self-anti-join: the UDF
+    # output is evaluated ONCE (a self-join would run the identity pass on
+    # both branches — verified by tools/explain_audit.py: exactly one
+    # ArrowEvalPython node in this plan)
+    w_fp = Window.partitionBy("fp")
     candidates = (
-        ided.filter(F.col("event_type") != "purchase")
+        ided.withColumn(
+            "fp_purchased",
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_fp),
+        )
+        .filter((F.col("event_type") != "purchase") & (F.col("fp_purchased") == 0))
         # within-batch dedupe: keep lowest seq per fp (J5)
         .withColumn(
             "rn",
@@ -364,7 +397,6 @@ def q_crawl_frontier_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") == 1)
-        .join(seen, "fp", "left_anti")
     )
     # W2 pop: capacity 4 per slot, downloader-aware order, budget 200
     w_slot = Window.partitionBy("slot").orderBy(F.desc("priority"), F.asc("seq"))
@@ -417,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_ema_inputs": q_latency_ema_inputs,
         "offsite_urllength_filter": q_offsite_urllength_filter,
         "httperror_filter": q_httperror_filter,
+        "httpcache_replay": q_httpcache_replay,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -535,6 +568,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_ok FROM events
             WHERE event_type <> 'error' AND value BETWEEN 10 AND 90
             GROUP BY event_type
+        """,
+        "httpcache_replay": """
+            WITH popped AS (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            ),
+            cached AS (
+              SELECT user_id, event_id AS cached_event_id FROM (
+                SELECT user_id, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'purchase')
+              WHERE rn = 1
+            )
+            SELECT p.user_id, c.cached_event_id, 'hit' AS outcome
+            FROM popped p JOIN cached c USING (user_id)
+            UNION ALL
+            SELECT p.user_id, CAST(NULL AS BIGINT) AS cached_event_id,
+                   'miss' AS outcome
+            FROM popped p WHERE NOT EXISTS
+              (SELECT 1 FROM cached c WHERE c.user_id = p.user_id)
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

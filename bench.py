@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "robots_broadcast_gate",
     "politeness_eligibility",
     "stats_rollup",
+    "httpcache_replay",
     "topk_orders",
     "tumbling_window_counts",
     "dedup_exact",

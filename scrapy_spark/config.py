@@ -48,6 +48,21 @@ class CrawlConfig:
     retry_http_codes: tuple[int, ...] = (500, 502, 503, 504, 522, 524, 408, 429)
     retry_priority_adjust: int = -1  # RETRY_PRIORITY_ADJUST
 
+    # --- redirects (ref: downloadermiddlewares/redirect.py) -----------
+    redirect_max_times: int = 20  # REDIRECT_MAX_TIMES
+    redirect_priority_adjust: int = 2  # REDIRECT_PRIORITY_ADJUST
+
+    # --- http cache (ref: extensions/httpcache.py; default off like
+    # HTTPCACHE_ENABLED — cache replay skips politeness delay, so the
+    # parity contract is defined with it disabled) --------------------
+    httpcache_enabled: bool = False
+
+    # --- autothrottle (ref: extensions/throttle.py; default off like
+    # AUTOTHROTTLE_ENABLED — parity runs use fixed fixture delays) -----
+    autothrottle_enabled: bool = False
+    autothrottle_target_concurrency: float = 1.0  # AUTOTHROTTLE_TARGET_CONCURRENCY
+    autothrottle_max_delay_ms: int = 60_000  # AUTOTHROTTLE_MAX_DELAY
+
     # --- epoch loop (ours; ST1/ST2) -----------------------------------
     epoch_quantum_ms: int = 1000  # virtual-clock step per epoch
     epoch_budget: int = 0  # 0 ⇒ derive: concurrent_requests × slots heuristic

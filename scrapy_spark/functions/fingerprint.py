@@ -48,6 +48,31 @@ def _normalize_headers(
     return {k: lowered[k] for k in sorted(lowered)} if lowered else None
 
 
+def fingerprint_of_canonical(
+    url_canon: str,
+    method: str = "GET",
+    body: bytes | None = None,
+    headers: dict[str, str | list[str]] | None = None,
+    include_headers: list[str] | None = None,
+) -> bytes:
+    """Fingerprint over an ALREADY-canonical URL — the digest payload embeds
+    the given string verbatim, exactly as ``fingerprint`` embeds its own
+    ``canonicalize_url(url)`` result, so
+    ``fingerprint_of_canonical(canonicalize_url(u)) == fingerprint(u)``
+    bit-for-bit by construction. The hot path (``with_request_identity``)
+    uses this to canonicalize once per row instead of twice."""
+    data: dict[str, object] = {
+        "method": method.upper(),
+        "url": url_canon,
+        "body": (body or b"").hex(),
+    }
+    norm = _normalize_headers(headers, include_headers)
+    if norm is not None:
+        data["headers"] = norm
+    payload = json.dumps(data, sort_keys=True, separators=(",", ":"))
+    return hashlib.sha1(payload.encode("utf-8")).digest()
+
+
 def fingerprint(
     url: str,
     method: str = "GET",
@@ -57,16 +82,13 @@ def fingerprint(
     keep_fragments: bool = False,
 ) -> bytes:
     """Modern ('2.7') fingerprint: 20-byte SHA1 digest."""
-    data: dict[str, object] = {
-        "method": method.upper(),
-        "url": canonicalize_url(url, keep_fragments=keep_fragments),
-        "body": (body or b"").hex(),
-    }
-    norm = _normalize_headers(headers, include_headers)
-    if norm is not None:
-        data["headers"] = norm
-    payload = json.dumps(data, sort_keys=True, separators=(",", ":"))
-    return hashlib.sha1(payload.encode("utf-8")).digest()
+    return fingerprint_of_canonical(
+        canonicalize_url(url, keep_fragments=keep_fragments),
+        method,
+        body,
+        headers,
+        include_headers,
+    )
 
 
 def fingerprint_legacy(
@@ -78,9 +100,27 @@ def fingerprint_legacy(
     keep_fragments: bool = False,
 ) -> bytes:
     """Legacy ('2.6') fingerprint: sequential SHA1 updates."""
+    return fingerprint_legacy_of_canonical(
+        canonicalize_url(url, keep_fragments=keep_fragments),
+        method,
+        body,
+        headers,
+        include_headers,
+    )
+
+
+def fingerprint_legacy_of_canonical(
+    url_canon: str,
+    method: str = "GET",
+    body: bytes | None = None,
+    headers: dict[str, str | list[str]] | None = None,
+    include_headers: list[str] | None = None,
+) -> bytes:
+    """Legacy layout over an already-canonical URL (see
+    ``fingerprint_of_canonical`` for the bit-exactness argument)."""
     h = hashlib.sha1()
     h.update(method.upper().encode("ascii"))
-    h.update(canonicalize_url(url, keep_fragments=keep_fragments).encode("utf-8"))
+    h.update(url_canon.encode("utf-8"))
     h.update(body or b"")
     norm = _normalize_headers(headers, include_headers)
     if norm:

@@ -1,0 +1,140 @@
+"""HTML link extraction + sitemap parsing (SURVEY §2.7 C13, §2.1 S5; ref:
+scrapy/linkextractors/lxmlhtml.py::LxmlParserLinkExtractor ≈L40,
+scrapy/spiders/sitemap.py::SitemapSpider ≈L15).
+
+The reference extracts ``<a>``/``<area>`` hrefs with lxml and resolves
+them against the response base URL; sitemaps are XML ``<loc>`` lists (or
+``Sitemap:`` lines in robots.txt). lxml is not in this sandbox, so the
+parsers are stdlib (``html.parser`` / ``xml.etree``) — deterministic,
+pure-Python, vectorized per Arrow batch. The Spark surface is
+``html:string → array<string>`` + ``explode`` feeding the identical
+downstream pipeline as the fixture-graph join (operators/parse.py).
+
+Reference predicate semantics carried over (F8 LinkExtractor):
+``nofollow`` anchors dropped when ``strip_nofollow``, fragment-only and
+non-http(s) schemes dropped, hrefs resolved with ``urljoin`` against the
+page URL (honoring ``<base href>``), per-page uniqueness preserved in
+document order (``unique=True`` default).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+from xml.etree import ElementTree
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+class _LinkParser(HTMLParser):
+    def __init__(self, strip_nofollow: bool):
+        super().__init__(convert_charrefs=True)
+        self.strip_nofollow = strip_nofollow
+        self.base: str | None = None
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "base" and self.base is None:
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.base = v
+        elif tag in ("a", "area"):
+            d = dict(attrs)
+            href = d.get("href")
+            if not href:
+                return
+            if self.strip_nofollow and "nofollow" in (d.get("rel") or "").lower():
+                return
+            self.hrefs.append(href)
+
+
+def extract_links_from_html(
+    html: str, page_url: str, strip_nofollow: bool = True
+) -> list[str]:
+    """→ resolved absolute http(s) URLs, unique, in document order."""
+    if not html:
+        return []
+    parser = _LinkParser(strip_nofollow)
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass  # truncated/malformed HTML: keep what was parsed so far
+    base = urljoin(page_url or "", parser.base) if parser.base else (page_url or "")
+    seen: set[str] = set()
+    out: list[str] = []
+    for href in parser.hrefs:
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        absu = urljoin(base, href)
+        if not absu.startswith(("http://", "https://")):
+            continue
+        if absu not in seen:
+            seen.add(absu)
+            out.append(absu)
+    return out
+
+
+_SITEMAP_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+
+
+def parse_sitemap(xml_text: str) -> tuple[list[str], list[str]]:
+    """→ (page_urls, child_sitemap_urls) from <urlset>/<sitemapindex>
+    (namespaced or not — real-world sitemaps are sloppy)."""
+    if not xml_text:
+        return [], []
+    try:
+        root = ElementTree.fromstring(xml_text)
+    except ElementTree.ParseError:
+        return [], []
+    tag = root.tag.rsplit("}", 1)[-1]
+    locs = [
+        el.text.strip()
+        for el in root.iter()
+        if el.tag.rsplit("}", 1)[-1] == "loc" and el.text and el.text.strip()
+    ]
+    if tag == "sitemapindex":
+        return [], locs
+    return locs, []
+
+
+def sitemap_urls_from_robots(robots_text: str) -> list[str]:
+    """``Sitemap:`` lines in robots.txt (ref: sitemap.py ≈L60)."""
+    out = []
+    for line in (robots_text or "").splitlines():
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_udf(html: pd.Series, page_url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_links_from_html(h, u) for h, u in zip(html, page_url)]
+    )
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def sitemap_locs_udf(xml_text: pd.Series) -> pd.Series:
+    out = []
+    for x in xml_text:
+        pages, children = parse_sitemap(x)
+        out.append(pages + children)
+    return pd.Series(out)
+
+
+def explode_page_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url_canon"
+) -> DataFrame:
+    """pages(html, url_canon, …) → one row per extracted link (``dst_url``)
+    — the C13 surface that substitutes for the fixture-graph join when the
+    crawl payload is real HTML."""
+    return pages.withColumn(
+        "dst_url", F.explode(extract_links_udf(F.col(html_col), F.col(url_col)))
+    ).drop(html_col)

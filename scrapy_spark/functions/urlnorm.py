@@ -24,6 +24,7 @@ fingerprint (ref behavior: scrapy/dupefilters.py ≈L55 depends on it).
 
 from __future__ import annotations
 
+import re
 from urllib.parse import (
     parse_qsl,
     quote,
@@ -58,6 +59,36 @@ def _unquote_path_keep_reserved(path: str) -> bytes:
     return unquote_to_bytes(path)
 
 
+# --- already-canonical fast path ------------------------------------------
+# A URL matching this shape is a FIXPOINT of the full algorithm below, so it
+# can be returned as-is: lowercase scheme, lowercase ASCII host (no port, no
+# userinfo), path of chars that quote(unquote(path)) leaves untouched (no
+# '%' escapes, no ';' params split), optional query validated separately.
+# Equivalence fast==slow is property-tested (tests/test_urlnorm.py).
+_FAST_RE = re.compile(
+    r"^(?:https?|ftp|wss?)://"
+    r"[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?"
+    r"(?:/[A-Za-z0-9_.~!*'()$&+,=:@/-]*)"
+    r"(?:\?([A-Za-z0-9_.~!*'()=&-]+))?$"
+)
+_FAST_PAIR_RE = re.compile(r"^[A-Za-z0-9_.~!*'()-]+=[A-Za-z0-9_.~!*'()-]*$")
+
+
+def _fast_canonical(url: str) -> bool:
+    """True iff ``url`` is provably already in canonical form."""
+    m = _FAST_RE.match(url)
+    if not m:
+        return False
+    query = m.group(1)
+    if query is None:
+        return True
+    pairs = query.split("&")
+    if not all(_FAST_PAIR_RE.match(p) for p in pairs):
+        return False
+    keyvals = [tuple(p.split("=", 1)) for p in pairs]
+    return keyvals == sorted(keyvals)
+
+
 def canonicalize_url(
     url: str,
     *,
@@ -67,6 +98,9 @@ def canonicalize_url(
     """Return the canonical form of ``url``. Never raises on odd input —
     falls back to returning the input stripped, so a malformed URL still
     fingerprints deterministically (the crawl filters will drop it later)."""
+    url = url.strip()
+    if _fast_canonical(url):
+        return url
     try:
         parts = urlparse(url.strip())
     except ValueError:

@@ -35,10 +35,13 @@ def with_bucket(df: DataFrame, fp_col: str = "fp") -> DataFrame:
 
 
 def dedupe_within_epoch(candidates: DataFrame) -> DataFrame:
-    """Keep one candidate per fp: first by (parent_seq, url_canon)."""
-    w = Window.partitionBy("fp").orderBy(
-        F.asc("parent_seq"), F.asc("url_canon"), F.asc("url")
-    )
+    """Keep one candidate per fp: first by (kind, parent_seq, url_canon,
+    url) — SEMANTICS 8d; ``kind`` (redirect=1 < link=2) present only in
+    the engine path."""
+    order = (
+        [F.asc("kind")] if "kind" in candidates.columns else []
+    ) + [F.asc("parent_seq"), F.asc("url_canon"), F.asc("url")]
+    w = Window.partitionBy("fp").orderBy(*order)
     return (
         candidates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -46,18 +49,37 @@ def dedupe_within_epoch(candidates: DataFrame) -> DataFrame:
     )
 
 
+# Above this many candidate rows the broadcast-inverted join stops paying:
+# building a driver-side broadcast of the candidate fps is serial work that
+# caps scaling, while a shuffle anti-join is fully parallel.
+BROADCAST_CANDIDATE_MAX = 100_000
+
+
 def anti_join_seen(
     candidates: DataFrame,
     url_seen: DataFrame | None,
     bloom: ShardedBloom | None = None,
+    n_candidates: int | None = None,
 ) -> DataFrame:
     """Exact seen-set dedupe; returns the fresh candidates.
 
-    ``candidates`` is assumed small relative to url_seen (one epoch's link
-    discoveries) — it is the broadcast side of both joins.
+    Two physical strategies, chosen by candidate-batch size
+    (``n_candidates``, when the caller already knows it):
+
+    - **small batch** (the common per-epoch case): candidates are the
+      broadcast side of both joins — url_seen is never shuffled and its
+      scan is pruned by the candidates' fp-bucket set.
+    - **large batch**: plain shuffle LEFT ANTI on ``fp`` — both sides
+      repartition by fp, fully parallel, no driver-side broadcast build.
+      At cluster scale url_seen is Iceberg bucket-partitioned on fp, which
+      turns this into a storage-partitioned join (candidates shuffle to the
+      seen layout; the seen side is read in place, never shuffled).
     """
     if url_seen is None:
         return candidates
+
+    if n_candidates is not None and n_candidates > BROADCAST_CANDIDATE_MAX:
+        return candidates.join(url_seen.select("fp"), "fp", "left_anti")
 
     if bloom is not None and bloom.n_added > 0:
         # Split by bloom verdict INSIDE a pandas UDF? No — bloom runs on the

@@ -28,13 +28,17 @@ def _fp_byte(n: int):
 
 
 def synthetic_fetch(
-    popped: DataFrame, url_map: DataFrame, cfg: CrawlConfig, epoch_ts: int
+    popped: DataFrame,
+    url_map: DataFrame,
+    cfg: CrawlConfig,
+    epoch_ts: int,
+    redirect_map: DataFrame | None = None,
 ) -> DataFrame:
     """popped (tiny, broadcast side) ⋈ url_map (huge, streamed) → fetched.
 
-    Adds: image_id (null = unknown URL), status, latency_ms, fetched_at.
-    Status rule (SEMANTICS 5): unknown URL → 404; fp[0] < 5 → 503;
-    fp[0] < 10 → 404; else 200.
+    Adds: image_id (null = unknown URL), redirect_to, status, latency_ms,
+    fetched_at. Status rule (SEMANTICS 5): url in redirect_map → 301;
+    unknown URL → 404; fp[0] < 5 → 503; fp[0] < 10 → 404; else 200.
     """
     # Join-order note: Spark cannot broadcast the LEFT (preserved) side of a
     # left-outer join, and url_map is the 10^10-row side — so first shrink
@@ -45,11 +49,23 @@ def synthetic_fetch(
         F.broadcast(popped.select("url_canon")), "url_canon", "left_semi"
     )
     joined = popped.join(F.broadcast(relevant), "url_canon", "left")
+    if redirect_map is not None:
+        rmap = redirect_map.select(
+            "url_canon" if "url_canon" in redirect_map.columns else F.col("src_canon").alias("url_canon"),
+            F.col("dst_url").alias("redirect_to"),
+        )
+        rel_redir = rmap.join(
+            F.broadcast(popped.select("url_canon")), "url_canon", "left_semi"
+        )
+        joined = joined.join(F.broadcast(rel_redir), "url_canon", "left")
+    else:
+        joined = joined.withColumn("redirect_to", F.lit(None).cast("string"))
     b0, b1 = _fp_byte(0), _fp_byte(1)
     return (
         joined.withColumn(
             "status",
-            F.when(F.col("image_id").isNull(), F.lit(404))
+            F.when(F.col("redirect_to").isNotNull(), F.lit(301))
+            .when(F.col("image_id").isNull(), F.lit(404))
             .when(b0 < 5, F.lit(503))
             .when(b0 < 10, F.lit(404))
             .otherwise(F.lit(200)),

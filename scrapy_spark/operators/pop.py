@@ -8,25 +8,30 @@ IS the reference's "pop from the slot with fewest active downloads" loop —
 and the global budget top-k.
 
 Skew note (north_rule): a window ``partitionBy("slot")`` hot-spots when one
-domain holds 10^8 queued rows. ``local_pretrim`` bounds that: a per-Arrow-
-batch top-(max cap) cut per slot, running partition-local with NO shuffle,
-before the exact window. Because every partition holds a salted slice of
-every hot domain, the pre-trim keeps a superset of any slot's true top-cap
-(each batch keeps its own top-cap), so the exact window sees at most
-``batches × cap`` rows per slot instead of 10^8. The final budget cut is
-``orderBy().limit(B)`` — Spark executes it as TakeOrderedAndProject (a
-top-k, never a full sort of the frontier).
+domain holds 10^8 queued rows. ``salted_pretrim`` bounds that with a
+**salted pre-cut**: rank within ``(slot, salt)`` where
+``salt = pmod(xxhash64(seq), S)``, keep the per-salt-group top-``max_cap``.
+Any row in a slot's true top-``cap`` is necessarily within its salt group's
+top-``cap`` under the same ordering, so the pre-cut keeps a superset of the
+exact answer while splitting a hot slot's 10^8 rows across S × shuffle
+partitions; the exact window then sees ≤ S·cap rows per slot. Everything
+stays JVM-side (window exec, no Python) — an earlier mapInPandas variant
+shipped the full frontier through Arrow and was the scaling bottleneck.
+The final budget cut is ``orderBy().limit(B)`` — Spark executes it as
+TakeOrderedAndProject (a top-k, never a full sort of the frontier).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
+
+# Salt fan-out for the pre-cut. Enough to split a hot domain across every
+# core of a large executor fleet without inflating the survivor set
+# (survivors ≤ SALT_BUCKETS × cap per slot).
+SALT_BUCKETS = 16
 
 
 def _seq_key(cfg: CrawlConfig):
@@ -34,33 +39,20 @@ def _seq_key(cfg: CrawlConfig):
     return F.desc("seq") if cfg.queue_order == "lifo" else F.asc("seq")
 
 
-def local_pretrim(eligible: DataFrame, max_cap: int) -> DataFrame:
-    """Partition-local per-slot top-``max_cap`` pre-cut (no shuffle).
-
-    Keeps, within each Arrow batch, the ``max_cap`` best rows per slot by
-    (priority desc, seq asc) and (priority desc, seq desc) — both tie-break
-    directions are retained so the same pre-trim is valid for FIFO and LIFO
-    exact ranking downstream: the union of both heads is a superset of
-    either head.
-    """
-    schema = eligible.schema
-
-    def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            g = pdf.sort_values(["priority", "seq"], ascending=[False, True]).groupby(
-                "slot", sort=False
-            )
-            head = g.head(max_cap)
-            tail = (
-                pdf.sort_values(["priority", "seq"], ascending=[False, False])
-                .groupby("slot", sort=False)
-                .head(max_cap)
-            )
-            yield pd.concat([head, tail]).drop_duplicates(subset=["seq"])
-
-    return eligible.mapInPandas(trim, schema=schema)
+def salted_pretrim(
+    eligible: DataFrame, cfg: CrawlConfig, max_cap: int, salt_buckets: int = SALT_BUCKETS
+) -> DataFrame:
+    """Skew-breaking pre-cut: per-(slot, salt) top-``max_cap`` under the
+    exact pop ordering — a strict superset of every slot's true top-cap."""
+    salted = eligible.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("seq")), F.lit(salt_buckets))
+    )
+    w = Window.partitionBy("slot", "__salt").orderBy(F.desc("priority"), _seq_key(cfg))
+    return (
+        salted.withColumn("__prn", F.row_number().over(w))
+        .filter(F.col("__prn") <= max_cap)
+        .drop("__salt", "__prn")
+    )
 
 
 def rank_and_pop(
@@ -72,14 +64,14 @@ def rank_and_pop(
     """``eligible`` must carry a ``concurrency`` column (per-slot capacity).
 
     ``pretrim_cap``: upper bound over all slots' concurrency — enables the
-    shuffle-free local pre-cut; pass None to disable (exact window only).
+    salted skew-proof pre-cut; pass None to disable (exact window only).
 
     Returns popped rows with ``slot_rank`` (rank within slot) and ``rank``
     (global pop order within the epoch, 1-based).
     """
     seq_key = _seq_key(cfg)
     if pretrim_cap is not None:
-        eligible = local_pretrim(eligible, pretrim_cap)
+        eligible = salted_pretrim(eligible, cfg, pretrim_cap)
 
     w_slot = Window.partitionBy("slot").orderBy(F.desc("priority"), seq_key)
     ranked = eligible.withColumn("slot_rank", F.row_number().over(w_slot)).filter(

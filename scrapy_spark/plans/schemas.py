@@ -37,6 +37,7 @@ FRONTIER = T.StructType(
         T.StructField("parent_fp", T.BinaryType(), True),
         T.StructField("status", T.StringType(), False),  # QUEUED|DONE|FAILED
         T.StructField("retries", T.IntegerType(), False),
+        T.StructField("redirects", T.IntegerType(), False),  # hops so far (J7)
         T.StructField("dont_filter", T.BooleanType(), False),
         T.StructField("meta_json", T.StringType(), True),
     ]

@@ -36,6 +36,7 @@ class SimRequest:
     retries: int
     dont_filter: bool
     parent_seq: int
+    redirects: int = 0
 
 
 @dataclass
@@ -57,6 +58,9 @@ class CrawlSimulator:
         self.fix = fix
         self.cfg = cfg
         self.url_map = dict(zip(fix.url_map["url_canon"], fix.url_map["image_id"]))
+        self.redirect_map = dict(
+            zip(fix.redirects["src_canon"], fix.redirects["dst_url"])
+        )
         self.graph: dict[str, list[str]] = defaultdict(list)
         for src, dst in zip(fix.graph["src_canon"], fix.graph["dst_url"]):
             self.graph[src].append(dst)
@@ -164,17 +168,47 @@ class CrawlSimulator:
             # SEMANTICS 5-7: fetch, politeness, outcomes
             pops_per_slot: dict[str, int] = defaultdict(int)
             enq_retries: list[SimRequest] = []
+            enq_redirects: list[SimRequest] = []
             enq_links: list[SimRequest] = []
             for r in popped:
                 pops_per_slot[r.slot] += 1
                 image_id = self.url_map.get(r.url_canon)
-                status = 404 if image_id is None else fetch_status_for_fp(r.fp)
+                redirect_to = self.redirect_map.get(r.url_canon)
+                if redirect_to is not None:
+                    status = 301
+                elif image_id is None:
+                    status = 404
+                else:
+                    status = fetch_status_for_fp(r.fp)
                 latency = fetch_latency_for_fp(r.fp)
                 res.timeline.setdefault(r.slot, []).append((ts + latency, r.fp.hex()))
                 res.metrics["downloader/request_count"] += 1
                 res.metrics[f"downloader/response_status_count/{status}"] += 1
                 pages += 1
-                if status == 200:
+                if status == 301:
+                    # SEMANTICS 7: redirect child (ref redirect.py ≈L70)
+                    if r.redirects < cfg.redirect_max_times:
+                        res.metrics["redirect/count"] += 1
+                        dom = parse_domain(redirect_to)
+                        enq_redirects.append(
+                            SimRequest(
+                                fp=fingerprint(redirect_to),
+                                url=redirect_to,
+                                url_canon=canonicalize_url(redirect_to),
+                                domain=dom,
+                                slot=dom,
+                                depth=r.depth,
+                                priority=r.priority + cfg.redirect_priority_adjust,
+                                seq=-1,
+                                retries=0,
+                                dont_filter=r.dont_filter,
+                                parent_seq=r.seq,
+                                redirects=r.redirects + 1,
+                            )
+                        )
+                    else:
+                        res.failed.add(r.fp.hex())
+                elif status == 200:
                     res.done.add(r.fp.hex())
                     res.items.append(image_id)
                     res.metrics["item_scraped_count"] += 1
@@ -198,6 +232,7 @@ class CrawlSimulator:
                             retries=r.retries + 1,
                             dont_filter=True,
                             parent_seq=r.seq,
+                            redirects=r.redirects,
                         )
                     )
                 else:
@@ -205,11 +240,19 @@ class CrawlSimulator:
             for slot, k in pops_per_slot.items():
                 next_free[slot] = ts + k * int(self.delay.get(slot, cfg.download_delay_ms))
 
-            # SEMANTICS 8d-e: within-epoch + seen-set dedupe
-            enq_links.sort(key=lambda r: (r.parent_seq, r.url_canon, r.url))
+            # SEMANTICS 8d-e: within-epoch + seen-set dedupe over
+            # redirect ∪ link candidates; dont_filter rows bypass both
+            # steps and are never recorded in url_seen
+            cands = [(1, r) for r in enq_redirects] + [(2, r) for r in enq_links]
+            cands.sort(
+                key=lambda t: (t[0], t[1].parent_seq, t[1].url_canon, t[1].url)
+            )
             fresh: list[SimRequest] = []
             batch_seen: set[bytes] = set()
-            for child in enq_links:
+            for _kind, child in cands:
+                if child.dont_filter:
+                    fresh.append(child)
+                    continue
                 hexfp = child.fp.hex()
                 if child.fp in batch_seen or hexfp in res.url_seen:
                     res.metrics["dupefilter/filtered"] += 1

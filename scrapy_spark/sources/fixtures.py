@@ -43,6 +43,7 @@ class CrawlFixture:
     seeds: pd.DataFrame  # url, priority
     graph: pd.DataFrame  # src_canon, dst_url
     url_map: pd.DataFrame  # url_canon, image_id
+    redirects: pd.DataFrame  # src_canon, dst_url (301 map; may be empty)
     robots: pd.DataFrame  # domain, rules, status
     politeness: pd.DataFrame  # slot, delay_ms, concurrency
     corpus: pd.DataFrame | None  # image_id, bytes, w, h, fmt, caption, phash
@@ -137,11 +138,13 @@ def gen_crawl_fixture(
 
     dst_urls = urls.iloc[dst_idx].reset_index(drop=True).copy()
     kind = rng.random(m)
-    # 5% offsite (F4), 3% overlong (F6), 2% denied ext (F8), 2% canon twins (C1)
+    # 5% offsite (F4), 3% overlong (F6), 2% denied ext (F8), 2% canon twins
+    # (C1), 2% 301-alias hops (J7)
     offsite = kind < 0.05
     overlong = (kind >= 0.05) & (kind < 0.08)
     denyext = (kind >= 0.08) & (kind < 0.10)
     twins = (kind >= 0.10) & (kind < 0.12)
+    redir = (kind >= 0.12) & (kind < 0.14)
     dst_urls[offsite] = (
         "http://ext" + pd.Series(dst_idx[offsite]).astype(str).str.zfill(4).to_numpy()
         + ".external/x"
@@ -160,6 +163,27 @@ def gen_crawl_fixture(
         else:
             twin_urls[j] = u.replace(".example/", ".example:80/", 1)
     dst_urls[twins] = twin_urls
+
+    # 301 aliases (J7, ref redirect.py ≈L70): the edge points at an alias
+    # URL on the target's own domain; fetching the alias 301s to the real
+    # URL. Aliases are canonical by construction and absent from url_map.
+    redir_real = dst_urls[redir].to_numpy(dtype=object)
+    redir_pos = np.flatnonzero(redir.to_numpy() if hasattr(redir, "to_numpy") else redir)
+    alias_urls = np.array(
+        [
+            u.rsplit("/p/", 1)[0] + f"/r/{j}" if "/p/" in u else u
+            for j, u in zip(redir_pos, redir_real)
+        ],
+        dtype=object,
+    )
+    is_alias = alias_urls != redir_real
+    dst_urls[redir] = alias_urls
+    redirects = pd.DataFrame(
+        {
+            "src_canon": alias_urls[is_alias],
+            "dst_url": redir_real[is_alias],
+        }
+    ).drop_duplicates(subset=["src_canon"], keep="first").reset_index(drop=True)
 
     graph = pd.DataFrame(
         {"src_canon": urls.iloc[src_idx].to_numpy(), "dst_url": dst_urls}
@@ -200,6 +224,7 @@ def gen_crawl_fixture(
         seeds=seeds,
         graph=graph,
         url_map=url_map,
+        redirects=redirects,
         robots=robots,
         politeness=politeness,
         corpus=corpus,
@@ -244,6 +269,7 @@ def materialize(fix: CrawlFixture, out_dir: str) -> dict[str, str]:
         "seeds": fix.seeds,
         "graph": fix.graph,
         "url_map": fix.url_map,
+        "redirects": fix.redirects,
         "robots": fix.robots,
         "politeness": fix.politeness,
     }

@@ -1,0 +1,108 @@
+"""Feed exports — the items sink (SURVEY §2.1 S7/S8; ref:
+scrapy/extensions/feedexport.py::FeedExporter ≈L300, scrapy/exporters.py
+≈L25–L320).
+
+The reference's FEEDS setting maps a URI to (format, fields, batching);
+here a feed is a ``FeedConfig`` and the writer is Spark's native
+DataFrameWriter — distributed, no driver-side row loop:
+
+- ``jsonlines`` / ``json`` → ``df.write.json`` (JSON-lines; the
+  reference's array-wrapped JsonItemExporter is a single-file driver-side
+  format with no distributed equivalent — JSON-lines is the scale-correct
+  form it also ships),
+- ``csv``  → ``df.write.csv`` with header,
+- ``parquet`` → columnar (the preferred cluster sink),
+- ``xml``  → XmlItemExporter re-expressed as a JVM-side Column expression
+  building one ``<item>…</item>`` line per row → ``df.write.text``.
+
+``FEED_EXPORT_BATCH_ITEM_COUNT`` maps to ``maxRecordsPerFile`` (same
+contract: no output file exceeds the batch size). ``FEED_EXPORT_FIELDS``
+maps to a projection, ``item_classes``/ItemFilter to a SQL predicate
+(S2.2 F10). Binary payload columns are hex-encoded for text formats and
+kept native for parquet — the reference's exporters call ``to_unicode``
+on bytes the same way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TEXT_FORMATS = ("jsonlines", "json", "csv", "xml")
+
+
+@dataclass
+class FeedConfig:
+    path: str
+    format: str = "jsonlines"  # jsonlines|json|csv|parquet|xml
+    fields: tuple[str, ...] = ()  # FEED_EXPORT_FIELDS: projection + order
+    batch_item_count: int = 0  # FEED_EXPORT_BATCH_ITEM_COUNT → maxRecordsPerFile
+    where: str = ""  # ItemFilter predicate (SQL), '' = keep all
+    export_empty_fields: bool = False  # csv: render nulls as '' (always true there)
+    root_element: str = "items"  # xml exporter root/item naming
+    item_element: str = "item"
+    options: dict = field(default_factory=dict)  # extra writer options
+
+
+def _xml_escape(col):
+    out = col.cast("string")
+    for raw, rep in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        out = F.replace(out, F.lit(raw), F.lit(rep))
+    return out
+
+
+def _prepare(df: DataFrame, feed: FeedConfig) -> DataFrame:
+    if feed.where:
+        df = df.filter(feed.where)
+    if feed.fields:
+        df = df.select(*feed.fields)
+    if feed.format in TEXT_FORMATS:
+        # hex-encode binary columns (deterministic, round-trippable)
+        for f_ in df.schema.fields:
+            if isinstance(f_.dataType, T.BinaryType):
+                df = df.withColumn(f_.name, F.lower(F.hex(F.col(f_.name))))
+    return df
+
+
+def export_items(df: DataFrame, feed: FeedConfig) -> None:
+    """Write one feed. Distributed writer; batching via maxRecordsPerFile
+    (ref: FEED_EXPORT_BATCH_ITEM_COUNT, feedexport.py ≈L330)."""
+    out = _prepare(df, feed)
+    writer = out.write.mode("overwrite")
+    if feed.batch_item_count:
+        writer = writer.option("maxRecordsPerFile", feed.batch_item_count)
+    for k, v in feed.options.items():
+        writer = writer.option(k, v)
+    fmt = feed.format
+    if fmt in ("jsonlines", "json"):
+        writer.json(feed.path)
+    elif fmt == "csv":
+        writer.option("header", True).option("emptyValue", "").csv(feed.path)
+    elif fmt == "parquet":
+        writer.parquet(feed.path)
+    elif fmt == "xml":
+        parts = [F.lit(f"<{feed.item_element}>")]
+        for name in out.columns:
+            parts += [
+                F.lit(f"<{name}>"),
+                F.coalesce(_xml_escape(F.col(name)), F.lit("")),
+                F.lit(f"</{name}>"),
+            ]
+        parts.append(F.lit(f"</{feed.item_element}>"))
+        out.select(F.concat(*parts).alias("value")).write.mode(
+            "overwrite"
+        ).option(
+            "maxRecordsPerFile", feed.batch_item_count or 0
+        ).text(feed.path)
+    else:
+        raise ValueError(f"unknown feed format: {fmt}")
+
+
+def export_all(df: DataFrame, feeds: list[FeedConfig]) -> None:
+    """The FEEDS dict: one source DataFrame, many sinks (ref:
+    feedexport.py multiple-slot handling)."""
+    for feed in feeds:
+        export_items(df, feed)

@@ -21,6 +21,7 @@ from ..config import CrawlConfig
 from ..operators import politeness as pol
 from ..operators.dedupe import anti_join_seen, dedupe_within_epoch, with_bucket
 from ..operators.fetch import attach_payload, synthetic_fetch
+from ..operators.httpcache import split_cache_hits
 from ..operators.filters import split_links
 from ..operators.parse import extract_links
 from ..operators.pop import rank_and_pop
@@ -57,6 +58,7 @@ class CrawlEngine:
         graph: DataFrame,
         robots: DataFrame,
         corpus: DataFrame | None = None,
+        redirect_map: DataFrame | None = None,
         pretrim: bool = True,
         max_slot_concurrency: int | None = None,
     ):
@@ -67,6 +69,7 @@ class CrawlEngine:
         self.graph = graph
         self.robots = robots
         self.corpus = corpus
+        self.redirect_map = redirect_map
         self.pretrim = pretrim
         self.max_cap = max_slot_concurrency or max(cfg.concurrent_per_domain, 8)
         self.bloom: ShardedBloom | None = (
@@ -95,6 +98,9 @@ class CrawlEngine:
             if fix.corpus is not None
             else None
         )
+        redirect_map = spark.createDataFrame(
+            fix.redirects, "src_canon string, dst_url string"
+        )
         eng = cls(
             spark,
             cfg,
@@ -103,6 +109,7 @@ class CrawlEngine:
             graph=graph,
             robots=robots,
             corpus=corpus,
+            redirect_map=redirect_map,
             max_slot_concurrency=int(fix.politeness["concurrency"].max()),
             **kw,
         )
@@ -128,6 +135,7 @@ class CrawlEngine:
             .withColumn("parent_fp", F.lit(None).cast("binary"))
             .withColumn("status", F.lit("QUEUED"))
             .withColumn("retries", F.lit(0))
+            .withColumn("redirects", F.lit(0))
             .withColumn("dont_filter", F.lit(True))
             .withColumn("meta_json", F.lit(None).cast("string"))
             .select(*FRONTIER_COLS)
@@ -234,15 +242,29 @@ class CrawlEngine:
         popped = popped.select(*FRONTIER_COLS, "slot_rank", "rank").cache()
         n_popped = popped.count()
 
-        # SEMANTICS 5: fetch (+ lineage partition id)
-        fetched = (
-            synthetic_fetch(popped, self.url_map, cfg, ts)
-            .withColumn("partition_id", F.spark_partition_id())
-            .cache()
-        )
+        # SEMANTICS 5: fetch (+ lineage partition id); optional cache
+        # replay first (S6/J6, operators/httpcache.py — default off)
+        n_cache_hits = 0
+        to_fetch = popped
+        if cfg.httpcache_enabled:
+            hits, to_fetch = split_cache_hits(popped, self.store.read("fetch_log"), ts)
+        fetched = synthetic_fetch(to_fetch, self.url_map, cfg, ts, self.redirect_map)
+        if cfg.httpcache_enabled and hits is not None:
+            hits = hits.withColumn("redirect_to", F.lit(None).cast("string"))
+            fetched = fetched.unionByName(
+                hits.select(*fetched.columns), allowMissingColumns=False
+            )
+            n_cache_hits = hits.count()
+        fetched = fetched.withColumn("partition_id", F.spark_partition_id()).cache()
         retryable = F.col("status").isin(list(cfg.retry_http_codes))
         outcome = (
-            F.when(F.col("status") == 200, F.lit("done"))
+            F.when(
+                F.col("status") == 301,
+                F.when(
+                    F.col("redirects") < cfg.redirect_max_times, F.lit("redirect")
+                ).otherwise(F.lit("failed")),
+            )
+            .when(F.col("status") == 200, F.lit("done"))
             .when(retryable & (F.col("retries") < cfg.retry_times), F.lit("retry"))
             .otherwise(F.lit("failed"))
         )
@@ -256,30 +278,93 @@ class CrawlEngine:
         n_ok = sum(v for (s, o), v in outcome_counts.items() if o == "done")
         n_retry = sum(v for (s, o), v in outcome_counts.items() if o == "retry")
         n_failed = sum(v for (s, o), v in outcome_counts.items() if o == "failed")
+        n_redirect = sum(v for (s, o), v in outcome_counts.items() if o == "redirect")
 
         done = fetched.filter(F.col("outcome") == "done")
 
-        # SEMANTICS 6: politeness watermark update
-        pops_per_slot = popped.groupBy("slot").agg(F.count(F.lit(1)).alias("k"))
+        # SEMANTICS 6: politeness watermark update — only requests that
+        # reached the downloader consume delay (cache hits short-circuit
+        # before the slot, ref HttpCacheMiddleware; to_fetch == popped
+        # when the cache is off)
+        pops_per_slot = to_fetch.groupBy("slot").agg(F.count(F.lit(1)).alias("k"))
         dom_next = pol.update_next_free(
             pol.mark_robots_fetched(dom, new_domains, e) if cfg.robotstxt_obey else dom,
             pops_per_slot,
             ts,
         )
+        if cfg.autothrottle_enabled:  # A6, ref throttle.py ≈L55 (default off)
+            latencies = fetched.groupBy("slot").agg(
+                F.avg("latency_ms").alias("avg_latency_ms"),
+                F.sum(F.when(F.col("status") < 400, 1).otherwise(0)).alias("ok_count"),
+            )
+            dom_next = pol.autothrottle(
+                dom_next,
+                latencies,
+                cfg,
+                target_concurrency=cfg.autothrottle_target_concurrency,
+                max_delay_ms=cfg.autothrottle_max_delay_ms,
+            )
 
-        # SEMANTICS 7-8: links pipeline
+        # SEMANTICS 7-8: redirect children + links pipeline
+        # candidate column set shared by redirect/link/retry rows
+        cand_cols = [
+            "kind",
+            "parent_seq",
+            "parent_fp",
+            "fp",
+            "url",
+            "url_canon",
+            "domain",
+            "slot",
+            "depth",
+            "priority",
+            "retries",
+            "redirects",
+            "dont_filter",
+        ]
         links_raw = extract_links(done, self.graph, cfg)
         kept, drop_counts_df = split_links(links_raw, cfg)
         drop_counts = {r["drop_reason"]: r["n"] for r in drop_counts_df.collect()}
-        candidates = (
+        link_cand = (
             with_request_identity(kept, impl=cfg.fingerprint_impl)
+            .withColumn("kind", F.lit(2))
+            .withColumn("retries", F.lit(0))
+            .withColumn("redirects", F.lit(0))
+            .withColumn("dont_filter", F.lit(False))
+        )
+        # redirect children (J7, ref redirect.py ≈L70): skip the 8b spider-
+        # middleware filters, inherit dont_filter, depth unchanged
+        redir_src = fetched.filter(F.col("outcome") == "redirect").select(
+            F.col("redirect_to").alias("url"),
+            F.col("depth"),
+            (F.col("priority") + cfg.redirect_priority_adjust)
+            .cast("int")
+            .alias("priority"),
+            F.col("seq").alias("parent_seq"),
+            F.col("fp").alias("parent_fp"),
+            (F.col("redirects") + 1).cast("int").alias("redirects"),
+            F.col("dont_filter"),
+        )
+        redir_cand = (
+            with_request_identity(redir_src, impl=cfg.fingerprint_impl)
+            .withColumn("kind", F.lit(1))
+            .withColumn("retries", F.lit(0))
+        )
+        candidates = (
+            redir_cand.select(*cand_cols)
+            .unionByName(link_cand.select(*cand_cols))
             .cache()
         )
-        n_candidates = candidates.count()
-        batch_unique = dedupe_within_epoch(candidates)
-        fresh = anti_join_seen(batch_unique, url_seen, self.bloom).cache()
+        filterable = candidates.filter(~F.col("dont_filter"))
+        bypass = candidates.filter(F.col("dont_filter"))
+        n_filterable = filterable.count()
+        n_bypass = bypass.count()
+        batch_unique = dedupe_within_epoch(filterable)
+        fresh = anti_join_seen(
+            batch_unique, url_seen, self.bloom, n_candidates=n_filterable
+        ).cache()
         n_fresh = fresh.count()
-        n_dupes = n_candidates - n_fresh
+        n_dupes = n_filterable - n_fresh
 
         # retries (SEMANTICS 7): dont_filter=True, priority adjusted
         retries = (
@@ -296,23 +381,11 @@ class CrawlEngine:
                 F.col("depth"),
                 (F.col("priority") + cfg.retry_priority_adjust).cast("int").alias("priority"),
                 (F.col("retries") + 1).alias("retries"),
+                F.col("redirects"),
                 F.lit(True).alias("dont_filter"),
             )
         )
-        fresh_links = fresh.select(
-            F.lit(1).alias("kind"),
-            "parent_seq",
-            "parent_fp",
-            "fp",
-            "url",
-            "url_canon",
-            "domain",
-            "slot",
-            "depth",
-            "priority",
-            F.lit(0).alias("retries"),
-            F.lit(False).alias("dont_filter"),
-        )
+        fresh_links = fresh.select(*cand_cols).unionByName(bypass.select(*cand_cols))
 
         # SEMANTICS 8f: deterministic seq assignment on the (small) batch
         w_seq = Window.orderBy("kind", "parent_seq", "url_canon", "url")
@@ -324,7 +397,7 @@ class CrawlEngine:
             .withColumn("meta_json", F.lit(None).cast("string"))
             .select(*FRONTIER_COLS)
         )
-        n_new = n_retry + n_fresh
+        n_new = n_retry + n_fresh + n_bypass
 
         # frontier': remove popped + denied, add new
         frontier_next = frontier.join(
@@ -377,6 +450,8 @@ class CrawlEngine:
             (e, -1, "robotstxt/forbidden", float(n_denied)),
             (e, -1, "item_scraped_count", float(n_ok)),
             (e, -1, "retry/count", float(n_retry)),
+            (e, -1, "redirect/count", float(n_redirect)),
+            (e, -1, "httpcache/hit", float(n_cache_hits)),
         ]
         for reason, n in drop_counts.items():
             mrows.append((e, -1, f"{reason}/filtered", float(n)))

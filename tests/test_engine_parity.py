@@ -90,6 +90,18 @@ def test_metrics_parity(parity_run):
         assert got.get(key, 0.0) == pytest.approx(val), key
 
 
+def test_redirects_exercised_and_match(parity_run):
+    """J7 (ref redirect.py ≈L70): the fixture's 301 aliases must actually
+    fire — guard against the semantics silently no-opping — and the engine
+    count must equal the simulator's (also covered by metrics parity)."""
+    fix, cfg, sim, eng, store = parity_run
+    assert len(fix.redirects) > 0
+    assert sim.metrics.get("redirect/count", 0) > 0
+    m = store.read("metrics").toPandas()
+    got = m[(m.partition_id == -1) & (m.key == "redirect/count")]["value"].sum()
+    assert got == sim.metrics["redirect/count"]
+
+
 def test_both_terminate_with_empty_frontier(parity_run):
     fix, cfg, sim, eng, store = parity_run
     assert store.read("frontier").count() == 0

@@ -1,0 +1,94 @@
+"""Feed-export sinks (SURVEY §2.1 S7/S8; ref exporters.py semantics:
+field projection/order, batch size, empty-field rendering, escaping)."""
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_spark.sources.sinks import FeedConfig, export_all, export_items
+
+
+@pytest.fixture()
+def items_df(spark):
+    rows = [
+        ("img1", b"\x01\x02", 8, "a & b <ok>", 1.5),
+        ("img2", None, 16, None, 2.0),
+        ("img3", b"\xff", 32, "plain", 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, caption string, score double"
+    )
+
+
+def _read_lines(path):
+    out = []
+    for p in sorted(pathlib.Path(path).glob("part-*")):
+        out += [l for l in p.read_text().splitlines() if l]
+    return out
+
+
+def test_jsonlines_with_field_projection(items_df, tmp_path):
+    dst = str(tmp_path / "j")
+    export_items(
+        items_df,
+        FeedConfig(path=dst, format="jsonlines", fields=("image_id", "caption", "bytes")),
+    )
+    recs = {json.loads(l)["image_id"]: json.loads(l) for l in _read_lines(dst)}
+    assert set(recs) == {"img1", "img2", "img3"}
+    assert recs["img1"]["bytes"] == "0102"  # binary → hex for text formats
+    assert "w" not in recs["img1"]  # FEED_EXPORT_FIELDS projection
+    assert "caption" not in recs["img2"]  # spark json omits nulls
+
+
+def test_csv_header_fields_and_empty(items_df, tmp_path):
+    dst = str(tmp_path / "c")
+    export_items(
+        items_df,
+        FeedConfig(path=dst, format="csv", fields=("image_id", "w", "caption")),
+    )
+    files = sorted(pathlib.Path(dst).glob("part-*"))
+    header = files[0].read_text().splitlines()[0]
+    assert header == "image_id,w,caption"  # field ORDER preserved
+    body = [l for f in files for l in f.read_text().splitlines()[1:]]
+    assert any(l.startswith("img2,16,") for l in body)  # null → empty field
+
+
+def test_xml_escaping(items_df, tmp_path):
+    dst = str(tmp_path / "x")
+    export_items(
+        items_df,
+        FeedConfig(path=dst, format="xml", fields=("image_id", "caption")),
+    )
+    lines = _read_lines(dst)
+    row1 = next(l for l in lines if "img1" in l)
+    assert "<caption>a &amp; b &lt;ok&gt;</caption>" in row1
+    assert row1.startswith("<item><image_id>img1</image_id>")
+
+
+def test_batch_item_count_maps_to_max_records_per_file(items_df, tmp_path):
+    dst = str(tmp_path / "b")
+    big = items_df.union(items_df).union(items_df)  # 9 rows
+    export_items(
+        big.repartition(1),
+        FeedConfig(path=dst, format="jsonlines", batch_item_count=4),
+    )
+    files = sorted(pathlib.Path(dst).glob("part-*"))
+    sizes = [len([l for l in f.read_text().splitlines() if l]) for f in files]
+    assert max(sizes) <= 4  # FEED_EXPORT_BATCH_ITEM_COUNT contract
+    assert sum(sizes) == 9
+
+
+def test_item_filter_and_multiple_feeds(items_df, tmp_path):
+    feeds = [
+        FeedConfig(path=str(tmp_path / "f1"), format="jsonlines", where="score > 1.0"),
+        FeedConfig(path=str(tmp_path / "f2"), format="parquet"),
+    ]
+    export_all(items_df, feeds)
+    assert len(_read_lines(str(tmp_path / "f1"))) == 2  # ItemFilter applied
+    spark = items_df.sparkSession
+    back = spark.read.parquet(str(tmp_path / "f2"))
+    assert back.count() == 3
+    got = {r["image_id"]: r["bytes"] for r in back.collect()}
+    assert bytes(got["img1"]) == b"\x01\x02"  # parquet keeps native binary
