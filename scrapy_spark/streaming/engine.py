@@ -11,6 +11,8 @@ multi-table commit, so a SIGKILL between epochs resumes identically (ST6).
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 import pandas as pd
@@ -87,20 +89,48 @@ class CrawlEngine:
         cfg: CrawlConfig,
         store: Store,
         fix: CrawlFixture,
+        materialize_dir: str | None = None,
         **kw,
     ) -> "CrawlEngine":
-        url_map = spark.createDataFrame(fix.url_map)
-        graph = spark.createDataFrame(fix.graph)
-        robots_pdf = fix.robots.copy()
-        robots = spark.createDataFrame(robots_pdf)
-        corpus = (
-            spark.createDataFrame(fix.corpus, schema=schemas.CORPUS)
-            if fix.corpus is not None
-            else None
-        )
-        redirect_map = spark.createDataFrame(
-            fix.redirects, "src_canon string, dst_url string"
-        )
+        # localCheckpoint: createDataFrame embeds the pandas data as a
+        # driver-local relation that is re-shipped to executors with EVERY
+        # job — at bench scale (1M url_map, 2.5M graph rows) that cost
+        # dominated each epoch. Checkpointing pins them cluster-side once.
+        # For large fixtures, pass ``materialize_dir``: the driver→JVM
+        # pandas conversion itself is slow at millions of rows, while a
+        # pyarrow parquet write + distributed read is near-instant.
+        if materialize_dir is not None:
+            from ..sources.fixtures import materialize
+
+            paths = materialize(fix, materialize_dir)
+            url_map = spark.read.parquet(paths["url_map"])
+            graph = spark.read.parquet(paths["graph"])
+            robots = spark.read.parquet(paths["robots"])
+            corpus = (
+                spark.read.parquet(paths["corpus"]) if "corpus" in paths else None
+            )
+            if len(fix.redirects):
+                redirect_map = spark.read.parquet(paths["redirects"])
+            else:  # empty pandas → null-typed parquet; build typed empty
+                redirect_map = spark.createDataFrame(
+                    [], "src_canon string, dst_url string"
+                )
+        else:
+            url_map = spark.createDataFrame(fix.url_map).localCheckpoint(eager=True)
+            graph = spark.createDataFrame(fix.graph).localCheckpoint(eager=True)
+            robots = spark.createDataFrame(fix.robots.copy()).localCheckpoint(
+                eager=True
+            )
+            corpus = (
+                spark.createDataFrame(
+                    fix.corpus, schema=schemas.CORPUS
+                ).localCheckpoint(eager=True)
+                if fix.corpus is not None
+                else None
+            )
+            redirect_map = spark.createDataFrame(
+                fix.redirects, "src_canon string, dst_url string"
+            ).localCheckpoint(eager=True)
         eng = cls(
             spark,
             cfg,
@@ -195,6 +225,18 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- one epoch
     def run_epoch(self, e: int) -> EpochStats:
+        # SPARK_GRAFT_EPOCH_TRACE=1 prints per-phase wall times (each phase
+        # boundary is a driver action = one Spark job chain)
+        trace_on = os.environ.get("SPARK_GRAFT_EPOCH_TRACE") == "1"
+        t_last = time.time()
+
+        def trace(phase: str) -> None:
+            nonlocal t_last
+            if trace_on:
+                now = time.time()
+                print(f"    epoch {e} {phase}: {now - t_last:.2f}s", flush=True)
+                t_last = now
+
         cfg, spark = self.cfg, self.spark
         ts = e * cfg.epoch_quantum_ms
         budget = cfg.epoch_budget or cfg.concurrent_requests
@@ -227,6 +269,7 @@ class CrawlEngine:
             n_denied = denied.count()
         else:
             allowed, denied, n_denied = poppable, None, 0
+        trace('robots_gate')
 
         # SEMANTICS 4: pop
         conc_default = F.lit(cfg.concurrent_per_domain)
@@ -241,6 +284,7 @@ class CrawlEngine:
         )
         popped = popped.select(*FRONTIER_COLS, "slot_rank", "rank").cache()
         n_popped = popped.count()
+        trace('pop')
 
         # SEMANTICS 5: fetch (+ lineage partition id); optional cache
         # replay first (S6/J6, operators/httpcache.py — default off)
@@ -269,12 +313,21 @@ class CrawlEngine:
             .otherwise(F.lit("failed"))
         )
         fetched = fetched.withColumn("outcome", outcome)
-        outcome_counts = {
-            (r["status"], r["outcome"]): r["n"]
-            for r in fetched.groupBy("status", "outcome")
+        # ONE action for outcome stats AND per-partition lineage (each
+        # driver action is a full Spark job — epoch overhead is job count)
+        opc = (
+            fetched.groupBy("partition_id", "status", "outcome")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-        }
+        )
+        outcome_counts: dict[tuple[int, str], int] = {}
+        part_counts: dict[int, int] = {}
+        for r in opc:
+            key = (r["status"], r["outcome"])
+            outcome_counts[key] = outcome_counts.get(key, 0) + r["n"]
+            pid = int(r["partition_id"])
+            part_counts[pid] = part_counts.get(pid, 0) + r["n"]
+        trace('fetch+outcome')
         n_ok = sum(v for (s, o), v in outcome_counts.items() if o == "done")
         n_retry = sum(v for (s, o), v in outcome_counts.items() if o == "retry")
         n_failed = sum(v for (s, o), v in outcome_counts.items() if o == "failed")
@@ -325,6 +378,7 @@ class CrawlEngine:
         links_raw = extract_links(done, self.graph, cfg)
         kept, drop_counts_df = split_links(links_raw, cfg)
         drop_counts = {r["drop_reason"]: r["n"] for r in drop_counts_df.collect()}
+        trace('links_split')
         link_cand = (
             with_request_identity(kept, impl=cfg.fingerprint_impl)
             .withColumn("kind", F.lit(2))
@@ -357,14 +411,30 @@ class CrawlEngine:
         )
         filterable = candidates.filter(~F.col("dont_filter"))
         bypass = candidates.filter(F.col("dont_filter"))
-        n_filterable = filterable.count()
-        n_bypass = bypass.count()
+        # one action for both counts (materializes the cache too)
+        df_counts = {
+            bool(r["dont_filter"]): r["n"]
+            for r in candidates.groupBy("dont_filter")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        trace('identity+cand_count')
+        n_filterable = df_counts.get(False, 0)
+        n_bypass = df_counts.get(True, 0)
         batch_unique = dedupe_within_epoch(filterable)
         fresh = anti_join_seen(
             batch_unique, url_seen, self.bloom, n_candidates=n_filterable
         ).cache()
-        n_fresh = fresh.count()
+        if self.bloom is not None:
+            # one action: the fp collect doubles as the count, and feeds
+            # the bloom insert below
+            fresh_fps = [r.fp for r in fresh.select("fp").collect()]
+            n_fresh = len(fresh_fps)
+        else:
+            fresh_fps = None
+            n_fresh = fresh.count()
         n_dupes = n_filterable - n_fresh
+        trace('dedupe+seen')
 
         # retries (SEMANTICS 7): dont_filter=True, priority adjusted
         retries = (
@@ -433,18 +503,18 @@ class CrawlEngine:
         seen_append = with_bucket(
             fresh.select("fp", F.lit(e).alias("epoch_added"))
         )
-        if self.bloom is not None and n_fresh:
-            self.bloom.add_many([r.fp for r in fresh.select("fp").collect()])
+        if self.bloom is not None and fresh_fps:
+            self.bloom.add_many(fresh_fps)
 
-        # metrics (driver-side aggregate rows + per-partition lineage)
+        # metrics (driver-side aggregate rows + per-partition lineage,
+        # derived from the single outcome/partition action above)
         part_rows = [
-            (e, int(r["partition_id"]), "fetch/partition_rows", float(r["n"]))
-            for r in fetched.groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            (e, pid, "fetch/partition_rows", float(n))
+            for pid, n in sorted(part_counts.items())
         ]
         mrows = [
-            (e, -1, "downloader/request_count", float(n_popped)),
+            # cache hits never reach the downloader (ref HttpCacheMiddleware)
+            (e, -1, "downloader/request_count", float(n_popped - n_cache_hits)),
             (e, -1, "scheduler/enqueued", float(n_new)),
             (e, -1, "dupefilter/filtered", float(n_dupes)),
             (e, -1, "robotstxt/forbidden", float(n_denied)),
@@ -481,12 +551,14 @@ class CrawlEngine:
             appends["metrics"] = metrics_df
         frontier_next = frontier_next.cache()
         queued_after = frontier_next.count()
+        trace('frontier_next')
         self.store.commit(
             e,
             replace={"frontier": frontier_next, "domain_state": dom_next},
             append=appends,
             scalars=scalars,
         )
+        trace('commit')
         for df in (popped, fetched, candidates, fresh, frontier_next):
             df.unpersist()
         if denied is not None:

@@ -12,7 +12,7 @@ def spark():
         .config("spark.default.parallelism", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
