@@ -239,6 +239,27 @@ def q_httperror_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data pipeline operators (documents / embeddings)
 # =====================================================================
 
+def q_logstats_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 LogStats rate derivation (ref: extensions/logstats.py ≈L25):
+    per-interval deltas of a cumulative counter via a lag window — the
+    pages/min / items/min numbers the reference logs every
+    LOGSTATS_INTERVAL. Events bucketed into daily epochs per type;
+    rate = count − lag(count) over epoch order."""
+    ev = _t(spark, sf_dir, "events")
+    per_epoch = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return per_epoch.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n",
+        (F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0))).alias("rate_delta"),
+    )
+
+
 def q_httpcache_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/J6 HTTP-cache replay shape (ref: extensions/httpcache.py ≈L200):
     'popped batch' = distinct users with a view event; cache = latest
@@ -450,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offsite_urllength_filter": q_offsite_urllength_filter,
         "httperror_filter": q_httperror_filter,
         "httpcache_replay": q_httpcache_replay,
+        "logstats_rates": q_logstats_rates,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -568,6 +590,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_ok FROM events
             WHERE event_type <> 'error' AND value BETWEEN 10 AND 90
             GROUP BY event_type
+        """,
+        "logstats_rates": """
+            WITH per_epoch AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY event_type, CAST(ts AS DATE)
+            )
+            SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+                   n - COALESCE(LAG(n) OVER (PARTITION BY event_type
+                                             ORDER BY day), 0) AS rate_delta
+            FROM per_epoch
         """,
         "httpcache_replay": """
             WITH popped AS (

@@ -30,6 +30,10 @@ from pyspark.sql.functions import pandas_udf
 from .text import TOKEN_RE, tokens
 
 _MERSENNE = (1 << 61) - 1
+# MinHash modulus: largest prime < 2^32 — keeps every a*h+b product inside
+# uint64, so the whole (hashes x shingles) grid is one numpy op per doc
+# (the 61-bit Mersenne variant needed object-dtype Python ints: ~100x slower).
+_MINHASH_P = 4294967291
 
 
 # ------------------------------------------------------------------ exact
@@ -79,30 +83,73 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
-    Returns (id_a, id_b, common, jaccard) with id_a < id_b."""
+    """EXACT n-gram Jaccard near-dup pairs, PPJoin-style.
+
+    The naive inverted-index self-join is O(Σ posting²) and melts on hot
+    shingles ("the of and" appears in most docs). The **prefix filter**
+    keeps exactness while shrinking candidates: under any fixed global
+    shingle order, two docs with Jaccard ≥ t MUST share a shingle within
+    each one's first ``|A| − ⌈t·|A|⌉ + 1`` shingles of that order. Ordering
+    rarest-first pushes the hot shingles out of every prefix, so the
+    candidate join runs over rare-shingle postings only; candidates are
+    then verified exactly with ``array_intersect`` on the full shingle
+    sets. Result is row-identical to the naive plan (same counts, same
+    rounded jaccard, same threshold).
+
+    ``prefix_filter=False`` skips the frequency pass and joins the full
+    inverted index — cheaper when shingle frequencies are near-uniform
+    (synthetic corpora), quadratic-on-hot-shingles at web scale. Both
+    paths return identical rows.
+
+    Returns (id_a, id_b, common, jaccard) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
     sh = shingles(df, id_col, text_col, n)
-    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
+    if prefix_filter:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+        w_doc = Window.partitionBy(id_col).orderBy(F.asc("__f"), F.asc("shingle"))
+        ranked = (
+            sh.join(freq, "shingle")
+            .withColumn("__pos", F.row_number().over(w_doc))
+            .withColumn(
+                "__n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+            )
+        )
+        prefix_len = F.col("__n_sh") - F.ceil(F.lit(threshold) * F.col("__n_sh")) + 1
+        prefix = ranked.filter(F.col("__pos") <= prefix_len).select(id_col, "shingle")
+    else:
+        prefix = sh
+
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    ca = cnt.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    cb = cnt.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("__set"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"), F.col("__n").alias("n_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"), F.col("__n").alias("n_b")
+    )
+    common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     return (
-        pairs.join(ca, "id_a")
-        .join(cb, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            "common",
+            common.alias("common"),
             F.round(
-                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4
+                common / (F.col("n_a") + F.col("n_b") - common), 4
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -112,8 +159,8 @@ def jaccard_pairs(
 # ----------------------------------------------------------------- minhash
 def _hash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(object)
-    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(object)
+    a = rng.randint(1, _MINHASH_P, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MINHASH_P, size=num_hashes, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
@@ -125,7 +172,8 @@ def _shingle_set(text: str, n: int) -> list[int]:
         return []
     seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
     return [
-        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in seen
+        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") % _MINHASH_P
+        for s in seen
     ]
 
 
@@ -138,8 +186,9 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: sig_i = min over shingles s
-    of (a_i*h(s)+b_i) mod (2^61-1); h = md5-derived 64-bit. Arrow-batched,
-    numpy-vectorized over the (hashes × shingles) grid per doc."""
+    of (a_i*h(s)+b_i) mod p, p = 4294967291 (< 2^32 ⇒ exact in uint64);
+    h = md5-derived, reduced mod p. Arrow-batched; the whole
+    (hashes × shingles) grid is one vectorized numpy op per doc."""
     a, b = _hash_params(num_hashes, seed)
 
     @pandas_udf(T.ArrayType(T.LongType()))
@@ -148,11 +197,11 @@ def minhash_signatures(
         for txt in texts:
             hs = _shingle_set(txt or "", shingle_n)
             if not hs:
-                out.append([int(_MERSENNE)] * num_hashes)
+                out.append([int(_MINHASH_P)] * num_hashes)
                 continue
-            s = np.array(hs, dtype=object)  # python ints: exact 61-bit modmul
-            sig = [int(min((ai * s + bi) % _MERSENNE)) for ai, bi in zip(a, b)]
-            out.append(sig)
+            s = np.asarray(hs, dtype=np.uint64)
+            grid = (a[:, None] * s[None, :] + b[:, None]) % np.uint64(_MINHASH_P)
+            out.append(grid.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))

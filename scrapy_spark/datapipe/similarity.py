@@ -45,17 +45,24 @@ def cosine_pairs(
     """All pairs with cosine ≥ threshold (exact, brute force).
     Returns (id_a, id_b, cos_sim) with id_a < id_b, rounded to 4dp (the
     threshold applies to the rounded value so engines agree at the rim)."""
-    e = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    # Per-row norm precompute: dot(v,v) is deterministic, so computing it
+    # once per row instead of once per PAIR yields bit-identical cosines
+    # (same operand values through the same formula) at 1/3 the array
+    # traversals — the n² pair stage folds each 64-dim pair exactly once.
+    e = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
-        )
+        .select("id_a", "id_b", F.round(sim, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -72,19 +79,16 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cos_sim, rank)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("vq")
-    )
+    ).withColumn("nq", F.sqrt(dot(F.col("vq"), F.col("vq"))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("vc")
-    )
+    ).withColumn("nc", F.sqrt(dot(F.col("vc"), F.col("vc"))))
+    sim = dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("vq"), F.col("vc")), 4).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", F.round(sim, 4).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -137,21 +141,24 @@ def lsh_ann_topk(
     b = hyperplane_buckets(df, id_col, vec_col, nbits, dim, seed)
     e = b.select(
         F.col(id_col), F.col("bucket"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     a = e.select(
-        F.col(id_col).alias("query_id"), "bucket", F.col("v").alias("va")
+        F.col(id_col).alias("query_id"),
+        "bucket",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     c = e.select(
-        F.col(id_col).alias("neighbor_id"), "bucket", F.col("v").alias("vb")
+        F.col(id_col).alias("neighbor_id"),
+        "bucket",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     scored = (
         a.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", F.round(sim, 4).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

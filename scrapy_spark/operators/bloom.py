@@ -13,8 +13,10 @@ holds only its buckets' shards. Hash functions are double-hashing over the
 fp's own SHA1 bytes (the fp IS already a uniform hash — no rehash needed).
 
 Locally the structure lives on the driver and is broadcast per epoch; at
-10^10 keys the build becomes a ``treeAggregate`` of per-partition shards
-(documented cluster path, round 2+).
+scale the build is distributed: ``build_bloom_from_df`` constructs each
+partition's bit-array executor-side and OR-merges them with a
+``treeReduce`` — the driver never sees a fingerprint, only (shards × m/64)
+uint64 arrays (4 MB at 1e-3 FPR / 1M capacity).
 """
 
 from __future__ import annotations
@@ -76,3 +78,37 @@ class ShardedBloom:
             hits = (self.bits[s][word[mask]] >> bit[mask]) & np.uint64(1)
             out[mask] = hits.all(axis=1)
         return out
+
+
+def build_bloom_from_df(
+    df,
+    fp_col: str = "fp",
+    capacity: int = 1_000_000,
+    fpr: float = 1e-3,
+    shards: int = 32,
+) -> ShardedBloom:
+    """Distributed bloom construction (SURVEY §4.3.2 cluster path): each
+    partition materializes its own shard bit-arrays executor-side; a
+    ``treeReduce`` OR-merges them. Bit-identical to driver-side
+    ``add_many`` over the same fps (the hash layout is a pure function of
+    the sizing parameters)."""
+    sizing = (capacity, fpr, shards)
+
+    def partition_bits(rows):
+        local = ShardedBloom(*sizing)
+        fps = [bytes(r[0]) for r in rows]
+        local.add_many(fps)
+        yield (local.bits, local.n_added)
+
+    def merge(a, b):
+        return (np.bitwise_or(a[0], b[0]), a[1] + b[1])
+
+    out = ShardedBloom(*sizing)
+    parts = df.select(fp_col).rdd.mapPartitions(partition_bits)
+    try:
+        bits, n = parts.treeReduce(merge)
+    except ValueError:  # empty RDD
+        return out
+    out.bits = bits
+    out.n_added = n
+    return out

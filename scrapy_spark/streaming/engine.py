@@ -197,14 +197,18 @@ class CrawlEngine:
 
     def _rebuild_bloom(self) -> None:
         """Resume path: re-populate the bloom from the committed url_seen
-        (at cluster scale: per-partition rebuild from the Iceberg snapshot,
-        SURVEY §4.3.2; locally a bounded collect)."""
+        snapshot — built DISTRIBUTED (per-partition bit-arrays OR-merged
+        via treeReduce, operators/bloom.py): the driver never collects a
+        fingerprint, so the rebuild holds at 10^10-key url_seen scale."""
         if self.bloom is None:
             return
         seen = self.store.read("url_seen")
         if seen is not None:
-            fps = [r.fp for r in seen.select("fp").collect()]
-            self.bloom.add_many(fps)
+            from ..operators.bloom import build_bloom_from_df
+
+            self.bloom = build_bloom_from_df(
+                seen, capacity=1_000_000, fpr=self.cfg.bloom_fpr
+            )
 
     # ------------------------------------------------------------------ run
     def run(self, max_epochs: int | None = None) -> list[EpochStats]:

@@ -98,3 +98,24 @@ def test_anti_join_strategies_agree(spark):
     assert fresh_set(n_candidates=400) == expect  # broadcast path
     assert fresh_set(n_candidates=10**9) == expect  # shuffle path
     assert fresh_set(bloom=bloom, n_candidates=400) == expect  # bloom prefilter
+
+
+def test_distributed_bloom_build_matches_driver_build(spark):
+    """SURVEY §4.3.2 cluster path: the treeReduce-built bloom must be
+    bit-identical to driver-side add_many over the same fingerprints."""
+    import numpy as np
+
+    from scrapy_spark.operators.bloom import build_bloom_from_df
+
+    rng = np.random.default_rng(17)
+    fps = [bytes(rng.integers(0, 256, 20, dtype=np.uint8)) for _ in range(5000)]
+    df = spark.createDataFrame([(fp,) for fp in fps], "fp binary").repartition(7)
+    dist = build_bloom_from_df(df, capacity=100_000)
+    local = ShardedBloom(capacity=100_000)
+    local.add_many(fps)
+    assert dist.n_added == 5000
+    assert np.array_equal(dist.bits, local.bits)
+    assert dist.maybe_contains(fps).all()
+
+    empty = spark.createDataFrame([], "fp binary")
+    assert build_bloom_from_df(empty, capacity=100_000).n_added == 0

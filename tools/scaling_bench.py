@@ -312,9 +312,19 @@ inverted exact check vs a parquet url_seen) → `rank_and_pop`
 **Speedup {lo['cpus']}→{hi['cpus']} cores: {rep['speedup']}× of {rep['core_factor']:.0f}×
 ideal ⇒ scaling efficiency = {rep['scaling_efficiency']} — {'**PASS**' if rep['pass'] else '**FAIL**'} (≥ 0.8).**
 
+**Measurement discipline.** The sandbox VM shows bursty background load
+(identical runs can swing well over 1.5×), so the levels run interleaved
+in fresh JVMs and the per-level MINIMUM is the estimator — noise only
+ever inflates a wall time, so the minimum converges on the clean run.
+All samples, in run order:
+
+| run | cpus | elapsed (s) | URLs/s |
+|---|---|---|---|
+{chr(10).join(f"| {i + 1} | {s['cpus']} | {s['elapsed_sec']} | {s['urls_per_sec']:,.0f} |" for i, s in enumerate(rep.get('samples', [])))}
+
 Reproduce: `python tools/scaling_bench.py` (env:
 `SPARK_GRAFT_SCALE_URLS`, `SPARK_GRAFT_SCALE_LEVELS`,
-`SPARK_GRAFT_SCALE_REPEAT`). Raw numbers: `BENCH/scaling.json`.
+`SPARK_GRAFT_SCALE_ROUNDS`). Raw numbers: `BENCH/scaling.json`.
 """
     )
 
