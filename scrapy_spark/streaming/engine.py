@@ -266,13 +266,12 @@ class CrawlEngine:
             new_domains = empty_sel
             poppable = e0
 
-        # SEMANTICS 3: robots gate
+        # SEMANTICS 3: robots gate (count deferred to the batched collect)
         if cfg.robotstxt_obey:
             allowed, denied = apply_robots_gate(poppable, self.robots, cfg)
             denied = denied.select("seq", "fp").cache()
-            n_denied = denied.count()
         else:
-            allowed, denied, n_denied = poppable, None, 0
+            allowed, denied = poppable, None
         trace('robots_gate')
 
         # SEMANTICS 4: pop
@@ -287,7 +286,6 @@ class CrawlEngine:
             pretrim_cap=self.max_cap if self.pretrim else None,
         )
         popped = popped.select(*FRONTIER_COLS, "slot_rank", "rank").cache()
-        n_popped = popped.count()
         trace('pop')
 
         # SEMANTICS 5: fetch (+ lineage partition id); optional cache
@@ -317,25 +315,7 @@ class CrawlEngine:
             .otherwise(F.lit("failed"))
         )
         fetched = fetched.withColumn("outcome", outcome)
-        # ONE action for outcome stats AND per-partition lineage (each
-        # driver action is a full Spark job — epoch overhead is job count)
-        opc = (
-            fetched.groupBy("partition_id", "status", "outcome")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        outcome_counts: dict[tuple[int, str], int] = {}
-        part_counts: dict[int, int] = {}
-        for r in opc:
-            key = (r["status"], r["outcome"])
-            outcome_counts[key] = outcome_counts.get(key, 0) + r["n"]
-            pid = int(r["partition_id"])
-            part_counts[pid] = part_counts.get(pid, 0) + r["n"]
         trace('fetch+outcome')
-        n_ok = sum(v for (s, o), v in outcome_counts.items() if o == "done")
-        n_retry = sum(v for (s, o), v in outcome_counts.items() if o == "retry")
-        n_failed = sum(v for (s, o), v in outcome_counts.items() if o == "failed")
-        n_redirect = sum(v for (s, o), v in outcome_counts.items() if o == "redirect")
 
         done = fetched.filter(F.col("outcome") == "done")
 
@@ -379,9 +359,10 @@ class CrawlEngine:
             "redirects",
             "dont_filter",
         ]
-        links_raw = extract_links(done, self.graph, cfg)
-        kept, drop_counts_df = split_links(links_raw, cfg)
-        drop_counts = {r["drop_reason"]: r["n"] for r in drop_counts_df.collect()}
+        # cached: the kept→identity branch and the drop-counts branch both
+        # consume links_raw — without the cache each re-scans the graph
+        links_raw = extract_links(done, self.graph, cfg).cache()
+        kept, drop_counts_df = split_links(links_raw, cfg)  # counts batched below
         trace('links_split')
         link_cand = (
             with_request_identity(kept, impl=cfg.fingerprint_impl)
@@ -471,17 +452,81 @@ class CrawlEngine:
             .withColumn("meta_json", F.lit(None).cast("string"))
             .select(*FRONTIER_COLS)
         )
-        n_new = n_retry + n_fresh + n_bypass
 
         # frontier': remove popped + denied, add new
         frontier_next = frontier.join(
             F.broadcast(popped.select("seq")), "seq", "left_anti"
         )
-        if denied is not None and n_denied:
+        if denied is not None:
             frontier_next = frontier_next.join(
                 F.broadcast(denied.select("seq")), "seq", "left_anti"
             )
-        frontier_next = frontier_next.select(*FRONTIER_COLS).unionByName(new_rows)
+        frontier_next = (
+            frontier_next.select(*FRONTIER_COLS).unionByName(new_rows).cache()
+        )
+
+        # ---- ONE batched stats action (each driver action is a full Spark
+        # job — epoch overhead is job count): popped/denied totals, per-
+        # (partition, status, outcome) fetch stats, link drop reasons, and
+        # the post-epoch queue depth, unioned as tagged aggregates.
+        def _tag(df, tag, k1=F.lit(""), k2=F.lit("")):
+            return df.select(
+                F.lit(tag).alias("t"),
+                k1.cast("string").alias("k1"),
+                k2.cast("string").alias("k2"),
+                F.col("n").cast("long").alias("n"),
+            )
+
+        stat_frames = [
+            _tag(popped.agg(F.count(F.lit(1)).alias("n")), "popped"),
+            _tag(
+                fetched.groupBy("partition_id", "status", "outcome")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumnRenamed("partition_id", "pid"),
+                "fetched",
+                k1=F.col("pid"),
+                k2=F.concat_ws(":", F.col("status"), F.col("outcome")),
+            ),
+            _tag(
+                drop_counts_df.withColumnRenamed("drop_reason", "r"),
+                "drop",
+                k1=F.col("r"),
+            ),
+            _tag(frontier_next.agg(F.count(F.lit(1)).alias("n")), "queued"),
+        ]
+        if denied is not None:
+            stat_frames.append(
+                _tag(denied.agg(F.count(F.lit(1)).alias("n")), "denied")
+            )
+        batched = stat_frames[0]
+        for sf_ in stat_frames[1:]:
+            batched = batched.unionByName(sf_)
+        n_popped = n_denied = queued_after = 0
+        outcome_counts: dict[tuple[int, str], int] = {}
+        part_counts: dict[int, int] = {}
+        drop_counts: dict[str, int] = {}
+        for r in batched.collect():
+            t, n = r["t"], int(r["n"])
+            if t == "popped":
+                n_popped = n
+            elif t == "denied":
+                n_denied = n
+            elif t == "queued":
+                queued_after = n
+            elif t == "drop":
+                drop_counts[r["k1"]] = n
+            elif t == "fetched":
+                status_s, outcome_s = r["k2"].split(":", 1)
+                key = (int(status_s), outcome_s)
+                outcome_counts[key] = outcome_counts.get(key, 0) + n
+                pid = int(r["k1"])
+                part_counts[pid] = part_counts.get(pid, 0) + n
+        n_ok = sum(v for (s, o), v in outcome_counts.items() if o == "done")
+        n_retry = sum(v for (s, o), v in outcome_counts.items() if o == "retry")
+        n_failed = sum(v for (s, o), v in outcome_counts.items() if o == "failed")
+        n_redirect = sum(v for (s, o), v in outcome_counts.items() if o == "redirect")
+        n_new = n_retry + n_fresh + n_bypass
+        trace('batched_stats')
 
         # logs
         pop_log = popped.select(
@@ -553,9 +598,6 @@ class CrawlEngine:
             appends["url_seen"] = seen_append
         if mrows:
             appends["metrics"] = metrics_df
-        frontier_next = frontier_next.cache()
-        queued_after = frontier_next.count()
-        trace('frontier_next')
         self.store.commit(
             e,
             replace={"frontier": frontier_next, "domain_state": dom_next},
@@ -563,7 +605,7 @@ class CrawlEngine:
             scalars=scalars,
         )
         trace('commit')
-        for df in (popped, fetched, candidates, fresh, frontier_next):
+        for df in (popped, fetched, links_raw, candidates, fresh, frontier_next):
             df.unpersist()
         if denied is not None:
             denied.unpersist()
