@@ -239,6 +239,28 @@ def q_httperror_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data pipeline operators (documents / embeddings)
 # =====================================================================
 
+def q_redirect_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/W4 redirect re-entry (ref: downloadermiddlewares/redirect.py
+    ≈L70): 'O'-status orders model 301 responses — each emits a requeued
+    child with priority += REDIRECT_PRIORITY_ADJUST (+2), hop = hop+1,
+    dropped at the REDIRECT_MAX_TIMES cap; hop count derived from
+    o_shippriority-like line number modulo, keeping it SQL-expressible."""
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        _order_priority(F.col("o_orderpriority")),
+        (F.col("o_orderkey") % 21).cast("int").alias("hops"),
+    )
+    return (
+        src.filter(F.col("hops") < 20)  # REDIRECT_MAX_TIMES
+        .select(
+            "o_orderkey",
+            (F.col("priority") + 2).alias("new_priority"),
+            (F.col("hops") + 1).alias("new_hops"),
+        )
+    )
+
+
 def q_logstats_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 LogStats rate derivation (ref: extensions/logstats.py ≈L25):
     per-interval deltas of a cumulative counter via a lag window — the
@@ -472,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "httperror_filter": q_httperror_filter,
         "httpcache_replay": q_httpcache_replay,
         "logstats_rates": q_logstats_rates,
+        "redirect_requeue": q_redirect_requeue,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -590,6 +613,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_ok FROM events
             WHERE event_type <> 'error' AND value BETWEEN 10 AND 90
             GROUP BY event_type
+        """,
+        "redirect_requeue": """
+            SELECT o_orderkey,
+                   (6 - CAST(substr(o_orderpriority, 1, 1) AS INT)) + 2
+                     AS new_priority,
+                   CAST(o_orderkey % 21 AS INT) + 1 AS new_hops
+            FROM orders
+            WHERE o_orderstatus = 'O' AND o_orderkey % 21 < 20
         """,
         "logstats_rates": """
             WITH per_epoch AS (
