@@ -4,8 +4,12 @@ Each ``queries()`` entry is one operator family from SURVEY.md §2 (crawl
 scheduling semantics re-expressed relationally over the driver's star
 schema) or a training-data pipeline operator (dedup / similarity / text
 analysis over documents+embeddings). ``oracle_sql()`` carries the DuckDB
-equivalent for everything SQL-expressible; hash-sketch and UDF-identity
-ops are rows-only (weaker check) and covered by unit tests instead.
+equivalent for everything SQL-expressible — including the MinHash /
+SimHash / winnowing sketches (DuckDB's md5_number_upper reproduces the
+package's md5-derived 64-bit hashes bit-for-bit). Only ann_lsh_topk
+(recall-checked against exact kNN in tests/test_datapipe.py) and
+image_decode_meta (decode verified against synthesis ground truth in
+tests/test_datapipe.py) are rows-only.
 
 Column aliases match 1:1 between Spark and SQL (the driver sorts columns
 by name before value-hashing). All float aggregates are rounded so both
@@ -37,15 +41,19 @@ def _order_priority(col):
 # =====================================================================
 
 def q_frontier_pop_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 ScrapyPriorityQueue: global rank by (priority desc, seq asc),
-    top-100 = epoch pop (ref: scrapy/pqueues.py::ScrapyPriorityQueue ≈L40)."""
+    """W1 ScrapyPriorityQueue: global top-100 by (priority desc, seq asc)
+    = epoch pop (ref: scrapy/pqueues.py::ScrapyPriorityQueue ≈L40).
+
+    Shape: orderBy().limit() FIRST (TakeOrderedAndProject — per-partition
+    top-k then a 100-row merge on one reducer), THEN rank the 100
+    survivors. A bare row_number over an unpartitioned window would drag
+    the whole table through a single-partition sort — the engine's own
+    rank_and_pop (operators/pop.py) uses this limit-then-rank shape."""
     orders = _t(spark, sf_dir, "orders")
+    sel = orders.select("o_orderkey", _order_priority(F.col("o_orderpriority")))
+    popped = sel.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(100)
     w = Window.orderBy(F.desc("priority"), F.asc("o_orderkey"))
-    return (
-        orders.select("o_orderkey", _order_priority(F.col("o_orderpriority")))
-        .withColumn("pop_rank", F.row_number().over(w))
-        .filter(F.col("pop_rank") <= 100)
-    )
+    return popped.withColumn("pop_rank", F.row_number().over(w))
 
 
 def q_frontier_pop_per_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +332,30 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup path: SRP-LSH candidates → exact cosine verify,
+    no O(n²) stage (datapipe/similarity.py::cosine_near_dup_lsh). The
+    corpus is embeddings ∪ 100 deterministically jittered copies (even
+    coordinates ×0.95, odd ×1.05 ⇒ cosine ≈0.9988 to the original) so
+    the query has real near-dups to find; the oracle recomputes the same
+    corpus and the FULL crossJoin in SQL — output equality means LSH
+    recall was exactly 1.0 at the threshold."""
+    from scrapy_spark.datapipe.similarity import cosine_near_dup_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    factor = lambda i: F.lit(1.0) + F.lit(0.05) * ((i % 2) * 2 - 1)  # noqa: E731
+    jit = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x.cast("double") * factor(i)
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(jit)
+    return cosine_near_dup_lsh(corpus, threshold=0.99, nbits=16, ntables=12)
+
+
 def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_spark.datapipe.similarity import cosine_topk
 
@@ -364,9 +396,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP ANN (6 bits × 48 tables: measured recall 0.92 vs
+    exact kNN on this corpus — asserted ≥0.85 in tests/test_datapipe.py)."""
     from scrapy_spark.datapipe.similarity import lsh_ann_topk
 
-    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), k=5, nbits=8)
+    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), k=5, nbits=6, ntables=48)
 
 
 def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,7 +415,14 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_request_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1+C2: the real canonicalize+SHA1-fingerprint UDFs over synthetic
     URLs derived from events (ref: scrapy/utils/request.py::fingerprint
-    ≈L75, w3lib canonicalize_url)."""
+    ≈L75, w3lib canonicalize_url).
+
+    Oracle-checked columns: url_canon and domain are recomputed literally
+    in SQL, and fp_cardinality (distinct fingerprints per canonical URL,
+    from the REAL sha1 UDF output) must be exactly 1 — the canon↔fp
+    bijection. The digest bytes themselves are pinned against the public
+    upstream byte layout in tests/vectors/fingerprints.jsonl (DuckDB has
+    no sha1 function, so they cannot be SQL-oracled)."""
     from scrapy_spark.functions.udfs import with_request_identity
 
     ev = _t(spark, sf_dir, "events")
@@ -396,7 +437,13 @@ def q_request_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     out = with_request_identity(urls)
-    return out.select("event_id", "url_canon", "domain", F.hex("fp").alias("fp_hex"))
+    w_canon = Window.partitionBy("url_canon")
+    return out.select(
+        "event_id",
+        "url_canon",
+        "domain",
+        F.size(F.collect_set(F.hex("fp")).over(w_canon)).alias("fp_cardinality"),
+    )
 
 
 def q_crawl_frontier_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,11 +546,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_cosine_topk": q_knn_cosine_topk,
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
         "text_lang_id": q_text_lang_id,
-        # rows-only (sketches / UDF identity)
+        # sketches / UDF identity (oracled via md5_number_upper replicas,
+        # except ann_lsh_topk + image_decode_meta: see module docstring)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -515,6 +564,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB replica of datapipe.dedup.minhash_lsh_pairs (64 hashes,
+    16 bands × 4 rows, threshold 0.5, 3-gram shingles, seed 42).
+
+    The (a, b) permutation constants are generated by the SAME
+    _hash_params(64, seed=42) the Spark UDF uses and inlined as literals;
+    shingle hash = md5_number_upper % 4294967291 ≡ the UDF's
+    int.from_bytes(md5[:8], 'little') % p. Band membership is checked on
+    band VALUES (Spark joins on murmur3 of the band slice — identical
+    output modulo a ~2^-32 hash collision, which the correctness gate
+    would surface)."""
+    from scrapy_spark.datapipe.dedup import _hash_params
+
+    a, b = _hash_params(64)
+    params = ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(64))
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(len(t) - 2),
+                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+          FROM toks WHERE len(t) >= 3),
+        hv AS (SELECT doc_id, md5_number_upper(shingle) % 4294967291 AS h FROM sh),
+        params(i, pa, pb) AS (VALUES {params}),
+        sig AS (
+          SELECT doc_id, i,
+                 min((CAST(pa AS HUGEINT) * h + pb) % 4294967291) AS s
+          FROM hv CROSS JOIN params GROUP BY doc_id, i),
+        sigfull AS (
+          SELECT d.doc_id,
+                 coalesce(sg.sig,
+                          list_transform(range(64),
+                                         x -> CAST(4294967291 AS HUGEINT))) AS sig
+          FROM documents d LEFT JOIN
+            (SELECT doc_id, list(s ORDER BY i) AS sig FROM sig GROUP BY doc_id) sg
+          USING (doc_id)),
+        bands AS (
+          SELECT doc_id, bi AS band_id, CAST(sig[bi*4+1:bi*4+4] AS VARCHAR) AS bv
+          FROM sigfull CROSS JOIN range(16) r(bi)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        est AS (
+          SELECT id_a, id_b,
+                 round(list_sum(list_transform(range(64),
+                       x -> CASE WHEN sa.sig[x+1] = sb.sig[x+1]
+                            THEN 1 ELSE 0 END)) / 64.0, 4) AS est_jaccard
+          FROM cand
+          JOIN sigfull sa ON sa.doc_id = id_a
+          JOIN sigfull sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -577,7 +682,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stats_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    round(avg(l_extendedprice), 2) AS avg_price,
                    round(avg(l_discount), 4) AS avg_disc
             FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -688,6 +793,24 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             WHERE cos_sim >= 0.4
         """,
+        "embedding_near_dup_lsh": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            jit AS (
+              SELECT vec_id + 10000 AS vec_id,
+                     list_transform(v, (x, i) ->
+                       x * (CAST(1.0 AS DOUBLE) + CAST(0.05 AS DOUBLE)
+                            * ((((i - 1) % 2) * 2) - 1))) AS v
+              FROM base WHERE vec_id < 100),
+            corpus AS (SELECT * FROM base UNION ALL SELECT * FROM jit)
+            SELECT id_a, id_b, cos_sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.v, b.v) /
+                           (sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+            WHERE cos_sim >= 0.99
+        """,
         "knn_cosine_topk": """
             SELECT query_id, neighbor_id, cos_sim, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -757,5 +880,106 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS pred_lang,
                    score_en, score_de, score_fr, score_es
             FROM sc
+        """,
+        # ---- sketch oracles: DuckDB's md5_number_upper(s) equals the
+        # package's int.from_bytes(md5(s)[:8], 'little') shingle/token hash
+        # (verified bit-for-bit), so MinHash / SimHash / winnowing are
+        # fully SQL-replicable. MinHash a/b permutation constants are
+        # inlined from the same _hash_params(seed=42) the Spark UDF uses.
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_simhash": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(cnt * (2 * CAST((md5_number_upper(tok) >> j) & 1 AS BIGINT) - 1)) AS v
+              FROM tc CROSS JOIN range(64) r(j) GROUP BY doc_id, j),
+            shv AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << j ELSE 0 END)
+                          AS UHUGEINT) AS hu
+              FROM bits GROUP BY doc_id),
+            alld AS (
+              SELECT d.doc_id, coalesce(CAST(s.hu AS UBIGINT), 0) AS h
+              FROM documents d LEFT JOIN shv s USING (doc_id)),
+            banded AS (
+              SELECT doc_id, h, bi AS band_id, (h >> (16*bi)) & 65535 AS chunk
+              FROM alld CROSS JOIN range(4) r(bi)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        """,
+        "doc_winnow_fingerprints": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_transform(range(len(t) - 4),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                            || t[i+4] || ' ' || t[i+5]) AS g
+              FROM toks WHERE len(t) >= 5),
+            hs AS (
+              SELECT doc_id,
+                     list_transform(g, x ->
+                       CAST(CASE WHEN md5_number_upper(x) >= CAST(9223372036854775808 AS UBIGINT)
+                            THEN CAST(md5_number_upper(x) AS HUGEINT)
+                                 - CAST(18446744073709551616 AS HUGEINT)
+                            ELSE CAST(md5_number_upper(x) AS HUGEINT) END AS BIGINT)) AS h,
+                     len(g) AS L
+              FROM grams),
+            sel AS (
+              SELECT doc_id,
+                     CASE WHEN L < 4 THEN [list_min(h)]
+                     ELSE list_distinct(list_transform(range(L - 3),
+                       i -> h[i + 4 - list_position(list_reverse(h[i+1:i+4]),
+                                                    list_min(h[i+1:i+4])) + 1]))
+                     END AS fps
+              FROM hs)
+            SELECT doc_id, unnest(fps) AS fingerprint FROM sel
+        """,
+        "request_identity": """
+            SELECT event_id,
+                   'https://site-' || CAST(user_id % 50 AS VARCHAR)
+                     || '.example.com/page/' || CAST(event_id % 400 AS VARCHAR)
+                     || '?a=1&b=2' AS url_canon,
+                   'site-' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS domain,
+                   1 AS fp_cardinality
+            FROM events
+        """,
+        "crawl_frontier_pop": """
+            WITH reqs AS (
+              SELECT event_id AS seq,
+                     'https://site-' || CAST(user_id % 50 AS VARCHAR)
+                       || '.example.com/page/' || CAST(event_id % 400 AS VARCHAR) AS url_canon,
+                     'site-' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS slot,
+                     CAST(trunc(value) AS INT) % 10 AS priority,
+                     event_type
+              FROM events),
+            flagged AS (
+              SELECT *, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY url_canon) AS fp_purchased
+              FROM reqs),
+            cand AS (
+              SELECT * FROM (
+                SELECT seq, url_canon, slot, priority,
+                       ROW_NUMBER() OVER (PARTITION BY url_canon ORDER BY seq ASC) AS rn
+                FROM flagged WHERE event_type <> 'purchase' AND fp_purchased = 0)
+              WHERE rn = 1),
+            ranked AS (
+              SELECT * FROM (
+                SELECT seq, url_canon, slot, priority,
+                       ROW_NUMBER() OVER (PARTITION BY slot
+                                          ORDER BY priority DESC, seq ASC) AS slot_rank
+                FROM cand)
+              WHERE slot_rank <= 4),
+            popped AS (
+              SELECT * FROM ranked
+              ORDER BY slot_rank ASC, priority DESC, seq ASC, slot ASC LIMIT 200)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY slot_rank ASC, priority DESC,
+                                           seq ASC, slot ASC) AS INT) AS pop_rank,
+                   seq, url_canon, slot, priority, slot_rank
+            FROM popped
         """,
     }

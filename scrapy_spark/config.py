@@ -36,6 +36,12 @@ class CrawlConfig:
     # --- filters (ref: spidermiddlewares/*) ---------------------------
     url_length_limit: int = 2083  # URLLENGTH_LIMIT
     allowed_domains: tuple[str, ...] = ()  # OffsiteMiddleware allow-list
+    # LxmlLinkExtractor allow/deny URL regexes (ref: linkextractors/
+    # lxmlhtml.py::_link_allowed ≈L90): with allow patterns set a URL must
+    # re.search-match at least one; any deny match drops. Allow is checked
+    # before deny, matching upstream's predicate order.
+    allow_url_patterns: tuple[str, ...] = ()
+    deny_url_patterns: tuple[str, ...] = ()
     deny_extensions: tuple[str, ...] = (
         # IGNORED_EXTENSIONS flavor (ref: linkextractors/__init__.py ≈L15)
         "7z", "apk", "avi", "bin", "bmp2", "css", "dmg", "doc", "docx",

@@ -83,7 +83,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    prefix_filter: bool = True,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs, PPJoin-style.
 
@@ -101,13 +101,34 @@ def jaccard_pairs(
     ``prefix_filter=False`` skips the frequency pass and joins the full
     inverted index — cheaper when shingle frequencies are near-uniform
     (synthetic corpora), quadratic-on-hot-shingles at web scale. Both
-    paths return identical rows.
+    paths return identical rows. The default ``"auto"`` decides from the
+    posting-list statistics themselves: the naive join's cost is exactly
+    Σf² over shingle frequencies f, so when the frequency-weighted mean
+    posting length Σf²/Σf is small (uniform corpus) the two extra
+    shuffles of the prefix pass cost more than they save; when any hot
+    shingle drives Σf²/Σf up, the prefix filter wins. One tiny agg scan
+    (3 longs to the driver) buys the decision.
 
     Returns (id_a, id_b, common, jaccard) with id_a < id_b.
     """
     from pyspark.sql import Window
 
     sh = shingles(df, id_col, text_col, n)
+    if prefix_filter == "auto":
+        stats = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .agg(
+                F.sum(F.col("f") * F.col("f")).alias("sum_f2"),
+                F.sum("f").alias("sum_f"),
+            )
+            .collect()[0]
+        )
+        # naive-join work per posting row ≈ Σf²/Σf; the prefix pass adds
+        # ~3 scans + 2 shuffles of the posting list ⇒ break-even ≈ 8.
+        prefix_filter = bool(
+            stats.sum_f and (stats.sum_f2 / stats.sum_f) > 8.0
+        )
     if prefix_filter:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
         w_doc = Window.partitionBy(id_col).orderBy(F.asc("__f"), F.asc("shingle"))

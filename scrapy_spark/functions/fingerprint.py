@@ -65,11 +65,16 @@ def fingerprint_of_canonical(
         "method": method.upper(),
         "url": url_canon,
         "body": (body or b"").hex(),
+        # Upstream ≥2.7 ALWAYS emits the headers key — an empty dict when no
+        # include_headers matched (scrapy/utils/request.py::fingerprint ≈L95:
+        # ``"headers": headers`` with ``headers: dict = {}`` initialized
+        # unconditionally).
+        "headers": _normalize_headers(headers, include_headers) or {},
     }
-    norm = _normalize_headers(headers, include_headers)
-    if norm is not None:
-        data["headers"] = norm
-    payload = json.dumps(data, sort_keys=True, separators=(",", ":"))
+    # Default json.dumps separators — (", ", ": ") — exactly as upstream:
+    # ``json.dumps(fingerprint_data, sort_keys=True)``. Compact separators
+    # would change every digest.
+    payload = json.dumps(data, sort_keys=True)
     return hashlib.sha1(payload.encode("utf-8")).digest()
 
 

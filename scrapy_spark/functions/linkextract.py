@@ -30,20 +30,63 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+def _selector_matches(sel: str, tag: str, d: dict) -> bool:
+    """Simple-selector match: ``tag``, ``.class``, ``#id``, ``tag.class``,
+    ``tag#id`` — the documented subset of restrict_css (no lxml/cssselect
+    in this container; SURVEY §0 documented-out)."""
+    want_tag, want_id, want_cls = sel, None, None
+    if "#" in sel:
+        want_tag, want_id = sel.split("#", 1)
+    elif "." in sel:
+        want_tag, want_cls = sel.split(".", 1)
+    if want_tag and tag != want_tag:
+        return False
+    if want_id is not None and d.get("id") != want_id:
+        return False
+    if want_cls is not None and want_cls not in (d.get("class") or "").split():
+        return False
+    return True
+
+
 class _LinkParser(HTMLParser):
-    def __init__(self, strip_nofollow: bool):
+    """Anchor extractor with an optional ``restrict_css`` region gate
+    (F8, ref: linkextractors/lxmlhtml.py restrict_xpaths/restrict_css
+    ≈L150): when selectors are given, only links with a matching OPEN
+    ancestor element are kept. html.parser has no DOM, so the ancestor
+    check runs on a live tag stack (void elements never push)."""
+
+    def __init__(self, strip_nofollow: bool, restrict_css: tuple[str, ...] = ()):
         super().__init__(convert_charrefs=True)
         self.strip_nofollow = strip_nofollow
+        self.restrict_css = restrict_css
         self.base: str | None = None
         self.hrefs: list[str] = []
+        self._restrict_depth = 0  # open elements matching any selector
+        self._stack: list[bool] = []  # per open element: matched?
+
+    def _in_restricted(self) -> bool:
+        return not self.restrict_css or self._restrict_depth > 0
 
     def handle_starttag(self, tag, attrs):
+        d = dict(attrs)
+        if self.restrict_css and tag not in _VOID_TAGS:
+            matched = any(
+                _selector_matches(s, tag, d) for s in self.restrict_css
+            )
+            self._stack.append(matched)
+            if matched:
+                self._restrict_depth += 1
         if tag == "base" and self.base is None:
-            for k, v in attrs:
-                if k == "href" and v:
-                    self.base = v
+            if d.get("href"):
+                self.base = d["href"]
         elif tag in ("a", "area"):
-            d = dict(attrs)
+            if not self._in_restricted():
+                return
             href = d.get("href")
             if not href:
                 return
@@ -51,14 +94,22 @@ class _LinkParser(HTMLParser):
                 return
             self.hrefs.append(href)
 
+    def handle_endtag(self, tag):
+        if self.restrict_css and tag not in _VOID_TAGS and self._stack:
+            if self._stack.pop():
+                self._restrict_depth -= 1
+
 
 def extract_links_from_html(
-    html: str, page_url: str, strip_nofollow: bool = True
+    html: str,
+    page_url: str,
+    strip_nofollow: bool = True,
+    restrict_css: tuple[str, ...] = (),
 ) -> list[str]:
     """→ resolved absolute http(s) URLs, unique, in document order."""
     if not html:
         return []
-    parser = _LinkParser(strip_nofollow)
+    parser = _LinkParser(strip_nofollow, restrict_css)
     try:
         parser.feed(html)
         parser.close()

@@ -6,13 +6,18 @@ through ``scrapy/utils/request.py ≈L70`` — see SURVEY.md §0 for the citatio
 convention; the reference mount was empty, so this is spec-derived and must
 be re-pinned against the reference's vendored w3lib version when available).
 
-Canonical form:
+Canonical form (exact public-w3lib algorithm, ``w3lib/url.py::canonicalize_url``):
 
-1. lowercase scheme and host; strip the scheme's default port,
-2. percent-encoding normalization: decode unreserved percent-escapes in the
-   path, re-encode everything outside the path-safe set, uppercase the hex
-   of surviving escapes (``%3a`` → ``%3A``),
-3. sort query parameters by (key, value); keep blank values,
+1. IDNA-encode the netloc when possible, lowercase it, strip a bare trailing
+   colon (empty port) — default ports are NOT stripped (w3lib keeps ``:80``),
+2. percent-encoding normalization: decode percent-escapes in the path
+   (protecting only ``%2F``/``%3F``, the w3lib set), re-encode with w3lib's
+   ``_path_safe_chars``; raw non-UTF8 escape bytes survive and uppercase
+   (``%a3`` → ``%A3``),
+3. parse the query preserving raw bytes (w3lib ``parse_qsl_to_bytes``:
+   splits on both ``&`` and ``;``, ``+`` means space), sort pairs, re-encode
+   with plain ``urlencode`` (quote_plus: only alnum ``_.-~`` survive,
+   space → ``+``),
 4. drop the fragment (unless ``keep_fragments``),
 5. empty path → ``/``.
 
@@ -26,7 +31,6 @@ from __future__ import annotations
 
 import re
 from urllib.parse import (
-    parse_qsl,
     quote,
     unquote_to_bytes,
     urlencode,
@@ -34,44 +38,62 @@ from urllib.parse import (
     urlunparse,
 )
 
-# Default ports stripped from the netloc (w3lib parity set).
-DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
-
-# Characters left unescaped when re-quoting the path. RFC 3986 pchar plus
-# "/" — mirrors the reference's path-safe set.
-_PATH_SAFE = "/;:@&+$,-_.!~*'()=%"
-_QUERY_SAFE = "-_.!~*'()"
-
-
-def _strip_default_port(netloc: str, scheme: str) -> str:
-    host, sep, port = netloc.rpartition(":")
-    if sep and port.isdigit() and DEFAULT_PORTS.get(scheme) == int(port):
-        return host
-    return netloc
+# w3lib safe sets: RFC3986 reserved (gen-delims + sub-delims) + "|" + "%";
+# the path set drops "#". (quote() additionally always keeps unreserved
+# alnum and "_.-~".)
+_SAFE_CHARS = ":/?#[]@!$&'()*+,;=|%"
+_PATH_SAFE = ":/?[]@!$&'()*+,;=|%"
 
 
 def _unquote_path_keep_reserved(path: str) -> bytes:
-    """Percent-decode the path but keep escapes whose decoding would change
-    URL structure (%2F '/', %3F '?', %23 '#') — decoding those would merge
-    distinct URLs, so their '%' is protected before the general unquote."""
-    for reserved in ("2f", "2F", "3f", "3F", "23"):
+    """Percent-decode the path but protect the escapes w3lib protects
+    (%2F '/', %3F '?') — decoding those would change URL structure
+    (w3lib/url.py::_unquotepath)."""
+    for reserved in ("2f", "2F", "3f", "3F"):
         path = path.replace(f"%{reserved}", f"%25{reserved.upper()}")
     return unquote_to_bytes(path)
+
+
+def _parse_qsl_to_bytes(
+    qs: str, keep_blank_values: bool
+) -> list[tuple[bytes, bytes]]:
+    """w3lib's ``parse_qsl_to_bytes``: like ``urllib.parse.parse_qsl`` but
+    ``unquote_to_bytes`` keeps raw (possibly non-UTF8) escape bytes, and —
+    matching the pre-3.10 stdlib behavior w3lib froze — ``;`` is also a
+    pair separator."""
+    pairs = [s2 for s1 in qs.split("&") for s2 in s1.split(";")]
+    out: list[tuple[bytes, bytes]] = []
+    for name_value in pairs:
+        if not name_value:
+            continue
+        nv = name_value.split("=", 1)
+        if len(nv) != 2:
+            if not keep_blank_values:
+                continue
+            nv.append("")
+        if nv[1] or keep_blank_values:
+            name = unquote_to_bytes(nv[0].replace("+", " "))
+            value = unquote_to_bytes(nv[1].replace("+", " "))
+            out.append((name, value))
+    return out
 
 
 # --- already-canonical fast path ------------------------------------------
 # A URL matching this shape is a FIXPOINT of the full algorithm below, so it
 # can be returned as-is: lowercase scheme, lowercase ASCII host (no port, no
-# userinfo), path of chars that quote(unquote(path)) leaves untouched (no
-# '%' escapes, no ';' params split), optional query validated separately.
-# Equivalence fast==slow is property-tested (tests/test_urlnorm.py).
+# userinfo, 1-63-char labels so IDNA passes it through), path of chars that
+# quote(unquote(path)) leaves untouched (no '%' escapes, no ';' params
+# split), optional query validated separately. Query chars are restricted to
+# quote_plus survivors (alnum + "_.-~") because w3lib's plain urlencode
+# escapes everything else. Equivalence fast==slow is property-tested
+# (tests/test_urlnorm.py / test_identity_fastpath.py).
 _FAST_RE = re.compile(
     r"^(?:https?|ftp|wss?)://"
     r"[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?"
     r"(?:/[A-Za-z0-9_.~!*'()$&+,=:@/-]*)"
-    r"(?:\?([A-Za-z0-9_.~!*'()=&-]+))?$"
+    r"(?:\?([A-Za-z0-9_.~=&-]+))?$"
 )
-_FAST_PAIR_RE = re.compile(r"^[A-Za-z0-9_.~!*'()-]+=[A-Za-z0-9_.~!*'()-]*$")
+_FAST_PAIR_RE = re.compile(r"^[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*$")
 
 
 def _fast_canonical(url: str) -> bool:
@@ -102,32 +124,34 @@ def canonicalize_url(
     if _fast_canonical(url):
         return url
     try:
-        parts = urlparse(url.strip())
+        parts = urlparse(url)
     except ValueError:
-        return url.strip()
-    scheme = parts.scheme.lower()
-    netloc = _strip_default_port(parts.netloc.lower(), scheme)
-    # IDNA hosts: keep as-is if already ASCII; encode non-ASCII hosts.
-    host = netloc.rsplit("@", 1)[-1].split(":")[0]
-    if host and not host.isascii():
-        try:
-            netloc = netloc.replace(host, host.encode("idna").decode("ascii"))
-        except UnicodeError:
-            pass
-
-    path_bytes = _unquote_path_keep_reserved(parts.path)
-    path = quote(path_bytes, safe=_PATH_SAFE) or "/"
-
+        return url
+    # w3lib _safe_ParseResult: IDNA-encode the whole netloc when every label
+    # is encodable (pure-ASCII 1-63-char labels pass through unchanged);
+    # fall back to the raw netloc on UnicodeError (empty/overlong labels).
     try:
-        keyvals = parse_qsl(parts.query, keep_blank_values=keep_blank_values)
-    except ValueError:
-        keyvals = []
-    keyvals.sort()
-    query = urlencode(keyvals, safe=_QUERY_SAFE)
+        netloc = parts.netloc.encode("idna").decode("ascii")
+    except UnicodeError:
+        netloc = parts.netloc
+    # Each component is first made %-safe exactly as _safe_ParseResult does.
+    path = quote(parts.path.encode("utf-8"), safe=_PATH_SAFE)
+    params = quote(parts.params.encode("utf-8"), safe=_PATH_SAFE)
+    query = quote(parts.query.encode("utf-8"), safe=_SAFE_CHARS)
+    fragment = quote(parts.fragment.encode("utf-8"), safe=_SAFE_CHARS)
 
-    fragment = parts.fragment if keep_fragments else ""
-    # `params` (the ;-suffix of the last path segment) is carried verbatim.
-    return urlunparse((scheme, netloc, path, parts.params, query, fragment))
+    keyvals = _parse_qsl_to_bytes(query, keep_blank_values)
+    keyvals.sort()
+    query = urlencode(keyvals)
+
+    path = quote(_unquote_path_keep_reserved(path), safe=_PATH_SAFE) or "/"
+    fragment = "" if not keep_fragments else fragment
+
+    # w3lib lowercases the netloc and strips only a BARE trailing colon
+    # (empty port) — default ports like :80 are preserved.
+    return urlunparse(
+        (parts.scheme, netloc.lower().rstrip(":"), path, params, query, fragment)
+    )
 
 
 def parse_domain(url: str) -> str:

@@ -82,27 +82,28 @@ def anti_join_seen(
         return candidates.join(url_seen.select("fp"), "fp", "left_anti")
 
     if bloom is not None and bloom.n_added > 0:
-        # Split by bloom verdict INSIDE a pandas UDF? No — bloom runs on the
-        # driver over the candidate fps, which we need driver-side anyway for
-        # bucket pruning. Candidates are one epoch's batch (bounded); at
-        # cluster scale this becomes an executor-side mapInArrow filter with
-        # broadcast shards (round 2+ path, see bloom.py docstring).
-        rows = candidates.select("fp").collect()
-        fps = [r.fp for r in rows]
-        verdict = bloom.maybe_contains(fps)
-        maybe = [fp for fp, v in zip(fps, verdict) if v]
-        if not maybe:
-            return candidates  # everything definitely unseen — no join at all
-        spark = candidates.sparkSession
-        maybe_df = spark.createDataFrame([(m,) for m in maybe], "fp binary")
-        suspects = candidates.join(F.broadcast(maybe_df), "fp", "left_semi")
-        clean = candidates.join(F.broadcast(maybe_df), "fp", "left_anti")
+        # Executor-side prefilter: the probe runs as an Arrow-batched UDF
+        # against a BROADCAST of the bloom bit-arrays — no fingerprint ever
+        # reaches the driver (the r1 driver-side collect was a cluster-scale
+        # bottleneck). Candidates that miss the bloom are definitely unseen
+        # and skip the exact join; survivors ("maybe seen") proceed. The
+        # final anti-join runs over ALL candidates against the (tiny) hits
+        # set, so the clean/suspect split never needs a second UDF pass.
+        maybe_fps = candidates.select("fp").filter(
+            bloom.probe_udf(candidates.sparkSession)(F.col("fp"))
+        )
+        suspects_fp = maybe_fps
     else:
-        suspects, clean = candidates, None
+        suspects_fp = candidates.select("fp")
 
-    cand_buckets = [r.bucket for r in with_bucket(suspects).select("bucket").distinct().collect()]
+    # bucket pruning: ≤BUCKETS ints to the driver (aggregate, not data)
+    cand_buckets = [
+        r.bucket
+        for r in with_bucket(suspects_fp).select("bucket").distinct().collect()
+    ]
+    if not cand_buckets:
+        return candidates  # every candidate definitely unseen — no join
     seen = with_bucket(url_seen, "fp") if "bucket" not in url_seen.columns else url_seen
-    pruned = seen.filter(F.col("bucket").isin(cand_buckets)) if cand_buckets else seen
-    hits = pruned.join(F.broadcast(suspects.select("fp")), "fp", "left_semi").select("fp")
-    fresh_suspects = suspects.join(F.broadcast(hits), "fp", "left_anti")
-    return fresh_suspects if clean is None else clean.unionByName(fresh_suspects)
+    pruned = seen.filter(F.col("bucket").isin(cand_buckets))
+    hits = pruned.join(F.broadcast(suspects_fp), "fp", "left_semi").select("fp")
+    return candidates.join(F.broadcast(hits), "fp", "left_anti")

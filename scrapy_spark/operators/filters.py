@@ -34,14 +34,33 @@ def _ext_expr(url: Column) -> Column:
     return F.lower(F.regexp_extract(path, r"\.([^./?#]+)$", 1))
 
 
+def _any_match(url: Column, patterns: tuple[str, ...]) -> Column:
+    """any(re.search(p, url)) as a Column — ``rlike`` IS unanchored search,
+    matching upstream's ``_matches`` (linkextractors/lxmlhtml.py ≈L40)."""
+    hit = F.lit(False)
+    for p in patterns:
+        hit = hit | url.rlike(p)
+    return hit
+
+
 def with_drop_reason(links: DataFrame, cfg: CrawlConfig, url_col: str = "url") -> DataFrame:
     """Tag each candidate with its first-match drop reason (null = keep).
 
     Filter order is part of the SEMANTICS.md contract (step 8b):
-    urllength → offsite → ext → depth.
+    allow → deny → urllength → offsite → ext → depth. The allow/deny URL
+    regexes reproduce LxmlLinkExtractor._link_allowed (F8): with allow
+    patterns configured a URL must search-match one of them; any deny
+    match drops; allow is evaluated first, as upstream does.
     """
     url = F.col(url_col)
-    reason = F.when(F.length(url) > cfg.url_length_limit, F.lit("urllength"))
+    reason = F.when(F.lit(False), F.lit(""))  # seed the CASE chain
+    if cfg.allow_url_patterns:
+        reason = reason.when(
+            ~_any_match(url, cfg.allow_url_patterns), F.lit("allow")
+        )
+    if cfg.deny_url_patterns:
+        reason = reason.when(_any_match(url, cfg.deny_url_patterns), F.lit("deny"))
+    reason = reason.when(F.length(url) > cfg.url_length_limit, F.lit("urllength"))
     if cfg.allowed_domains:
         reason = reason.when(_offsite_expr(url, cfg.allowed_domains), F.lit("offsite"))
     reason = reason.when(

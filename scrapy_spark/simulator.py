@@ -11,6 +11,7 @@ Deliberately simple and allocation-heavy — clarity over speed; run at
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 from dataclasses import dataclass, field
 
@@ -282,6 +283,18 @@ class CrawlSimulator:
     ) -> SimRequest | None:
         cfg = self.cfg
         depth = parent.depth + 1
+        # F8 allow/deny URL regexes — allow first, then deny, exactly as
+        # the engine's with_drop_reason and upstream _link_allowed
+        if cfg.allow_url_patterns and not any(
+            re.search(p, dst) for p in cfg.allow_url_patterns
+        ):
+            metrics["allow/filtered"] += 1
+            return None
+        if cfg.deny_url_patterns and any(
+            re.search(p, dst) for p in cfg.deny_url_patterns
+        ):
+            metrics["deny/filtered"] += 1
+            return None
         if len(dst) > cfg.url_length_limit:
             metrics["urllength/filtered"] += 1
             return None

@@ -22,10 +22,25 @@ import pathlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+#: delete-delta chain length that triggers a base rewrite (merge-on-read
+#: compaction, the Iceberg RewriteDataFiles analog). Epoch commit cost is
+#: O(batch); the full-table rewrite is paid once per COMPACT_EVERY epochs.
+COMPACT_EVERY = 8
 
 
 class Store:
-    """Interface: read current table versions, commit an epoch atomically."""
+    """Interface: read current table versions, commit an epoch atomically.
+
+    ``mutate`` tables are keyed row stores committed as DELTAS — per-epoch
+    (delete-keys, insert-rows) pairs resolved lazily on read as
+    ``(base ∪ inserts) LEFT ANTI deletes`` — valid because keys (frontier
+    ``seq``) are globally unique and never re-inserted after deletion.
+    This is what keeps a 10^10-row frontier commit O(popped + new_links)
+    instead of a full-table rewrite per epoch (Iceberg MOR equality
+    deletes; compaction every COMPACT_EVERY epochs bounds read fan-in)."""
 
     def read(self, name: str) -> DataFrame | None:
         raise NotImplementedError
@@ -36,7 +51,9 @@ class Store:
         replace: dict[str, DataFrame],
         append: dict[str, DataFrame],
         scalars: dict,
+        mutate: dict[str, tuple[str, DataFrame, DataFrame]] | None = None,
     ) -> None:
+        """``mutate[name] = (key_col, delete_keys_df, insert_df)``."""
         raise NotImplementedError
 
     @property
@@ -68,24 +85,55 @@ class ParquetStore(Store):
         return self._manifest["scalars"]
 
     def read(self, name: str) -> DataFrame | None:
-        paths = self._manifest["tables"].get(name)
-        if not paths:
+        entry = self._manifest["tables"].get(name)
+        if not entry:
             return None
-        return self.spark.read.parquet(*paths)
+        if isinstance(entry, list):  # plain replace/append table
+            return self.spark.read.parquet(*entry)
+        return self._resolve(entry)
+
+    def _resolve(self, entry: dict) -> DataFrame:
+        """Merge-on-read for a mutate table: (base ∪ inserts) anti deletes."""
+        df = self.spark.read.parquet(*(entry["base"] + entry.get("ins", [])))
+        if entry.get("dels"):
+            dels = self.spark.read.parquet(*entry["dels"])
+            df = df.join(F.broadcast(dels), entry["key"], "left_anti")
+        return df
 
     def _write(self, epoch: int, name: str, df: DataFrame) -> str:
         out = self.root / "data" / name / f"e{epoch:06d}_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(str(out))
         return str(out)
 
-    def commit(self, epoch, replace, append, scalars) -> None:
+    def commit(self, epoch, replace, append, scalars, mutate=None) -> None:
         tables = dict(self._manifest["tables"])
         for name, df in replace.items():
             tables[name] = [self._write(epoch, name, df)]
         for name, df in append.items():
             # caller guarantees df is non-empty (skip-empty handled upstream)
-            tables.setdefault(name, [])
-            tables[name] = tables[name] + [self._write(epoch, name, df)]
+            prev = tables.get(name) or []
+            tables[name] = list(prev) + [self._write(epoch, name, df)]
+        for name, (key, dels, ins) in (mutate or {}).items():
+            prev = tables.get(name)
+            if isinstance(prev, list):  # promote a replace-table to MOR
+                entry = {"key": key, "base": prev, "dels": [], "ins": []}
+            else:
+                entry = {k: list(v) if isinstance(v, list) else v
+                         for k, v in (prev or {"key": key, "base": [],
+                                               "dels": [], "ins": []}).items()}
+            entry["dels"].append(self._write(epoch, f"{name}_del", dels))
+            entry["ins"].append(self._write(epoch, f"{name}_ins", ins))
+            if len(entry["dels"]) >= COMPACT_EVERY:
+                # compaction: resolve and rewrite the base ONCE per
+                # COMPACT_EVERY epochs; the rewrite is the only full-table
+                # write and amortizes to 1/COMPACT_EVERY per epoch
+                entry = {
+                    "key": key,
+                    "base": [self._write(epoch, name, self._resolve(entry))],
+                    "dels": [],
+                    "ins": [],
+                }
+            tables[name] = entry
         manifest = {"epoch": epoch, "tables": tables, "scalars": scalars}
         tmp = self.root / f".manifest.{uuid.uuid4().hex[:8]}.tmp"
         tmp.write_text(json.dumps(manifest, indent=1))
@@ -104,6 +152,8 @@ class MemoryStore(Store):
         self.spark = spark
         self._tables: dict[str, DataFrame] = {}  # replace-tables
         self._parts: dict[str, list[DataFrame]] = {}  # append-table deltas
+        # mutate tables: name → (key_col, base, [delete dfs], [insert dfs])
+        self._mor: dict[str, tuple[str, DataFrame, list, list]] = {}
         self._epoch = -1
         self._scalars: dict = {}
 
@@ -116,6 +166,8 @@ class MemoryStore(Store):
         return self._scalars
 
     def read(self, name: str) -> DataFrame | None:
+        if name in self._mor:
+            return self._resolve_mor(*self._mor[name])
         # a table may have a replaced base (e.g. url_seen's bootstrap) AND
         # appended deltas — merge both
         pieces = []
@@ -129,11 +181,35 @@ class MemoryStore(Store):
             out = out.unionByName(p)
         return out
 
-    def commit(self, epoch, replace, append, scalars) -> None:
+    @staticmethod
+    def _resolve_mor(key, base, dels, ins) -> DataFrame:
+        df = base
+        for i in ins:
+            df = df.unionByName(i)
+        if dels:
+            d = dels[0]
+            for extra in dels[1:]:
+                d = d.unionByName(extra)
+            df = df.join(F.broadcast(d), key, "left_anti")
+        return df
+
+    def commit(self, epoch, replace, append, scalars, mutate=None) -> None:
         for name, df in replace.items():
             self._tables[name] = df.localCheckpoint(eager=True)
             self._parts.pop(name, None)  # replace resets any deltas
+            self._mor.pop(name, None)
         for name, df in append.items():
             self._parts.setdefault(name, []).append(df.localCheckpoint(eager=True))
+        for name, (key, dels, ins) in (mutate or {}).items():
+            if name in self._mor:
+                k, base, dl, il = self._mor[name]
+            else:  # promote the replace-table to merge-on-read
+                k, base, dl, il = key, self._tables.pop(name), [], []
+            dl = dl + [dels.localCheckpoint(eager=True)]
+            il = il + [ins.localCheckpoint(eager=True)]
+            if len(dl) >= COMPACT_EVERY:
+                base = self._resolve_mor(k, base, dl, il).localCheckpoint(eager=True)
+                dl, il = [], []
+            self._mor[name] = (k, base, dl, il)
         self._epoch = epoch
         self._scalars = scalars

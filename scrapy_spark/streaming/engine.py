@@ -196,18 +196,22 @@ class CrawlEngine:
         )
 
     def _rebuild_bloom(self) -> None:
-        """Resume path: re-populate the bloom from the committed url_seen
-        snapshot — built DISTRIBUTED (per-partition bit-arrays OR-merged
-        via treeReduce, operators/bloom.py): the driver never collects a
-        fingerprint, so the rebuild holds at 10^10-key url_seen scale."""
+        """Resume/regrow path: re-populate the bloom from the committed
+        url_seen snapshot — built DISTRIBUTED (per-partition bit-arrays
+        OR-merged via treeReduce, operators/bloom.py): the driver never
+        collects a fingerprint, so the rebuild holds at 10^10-key url_seen
+        scale. Capacity is sized from the ACTUAL seen-set count (2× for
+        growth headroom), never a hardcoded constant — a saturated filter
+        silently degrades to 'everything maybe-seen'."""
         if self.bloom is None:
             return
         seen = self.store.read("url_seen")
         if seen is not None:
             from ..operators.bloom import build_bloom_from_df
 
+            capacity = max(self.bloom.capacity, 2 * seen.count(), 1_000_000)
             self.bloom = build_bloom_from_df(
-                seen, capacity=1_000_000, fpr=self.cfg.bloom_fpr
+                seen, capacity=capacity, fpr=self.cfg.bloom_fpr
             )
 
     # ------------------------------------------------------------------ run
@@ -410,14 +414,7 @@ class CrawlEngine:
         fresh = anti_join_seen(
             batch_unique, url_seen, self.bloom, n_candidates=n_filterable
         ).cache()
-        if self.bloom is not None:
-            # one action: the fp collect doubles as the count, and feeds
-            # the bloom insert below
-            fresh_fps = [r.fp for r in fresh.select("fp").collect()]
-            n_fresh = len(fresh_fps)
-        else:
-            fresh_fps = None
-            n_fresh = fresh.count()
+        n_fresh = fresh.count()
         n_dupes = n_filterable - n_fresh
         trace('dedupe+seen')
 
@@ -552,8 +549,10 @@ class CrawlEngine:
         seen_append = with_bucket(
             fresh.select("fp", F.lit(e).alias("epoch_added"))
         )
-        if self.bloom is not None and fresh_fps:
-            self.bloom.add_many(fresh_fps)
+        if self.bloom is not None and n_fresh:
+            # executor-side insert: partition bit-arrays OR-merged via
+            # treeReduce — the driver never sees a fingerprint (r1 item 5)
+            self.bloom.absorb_df(fresh.select("fp"))
 
         # metrics (driver-side aggregate rows + per-partition lineage,
         # derived from the single outcome/partition action above)
@@ -598,13 +597,25 @@ class CrawlEngine:
             appends["url_seen"] = seen_append
         if mrows:
             appends["metrics"] = metrics_df
+        # Frontier goes in as a DELTA (delete popped/denied seqs + insert
+        # the new batch), not a full-table replace: at a 10^10-row frontier
+        # the per-epoch write is O(batch); the store compacts the
+        # delete-chain every COMPACT_EVERY epochs (store.py MOR contract).
+        delete_keys = popped.select("seq")
+        if denied is not None:
+            delete_keys = delete_keys.unionByName(denied.select("seq"))
         self.store.commit(
             e,
-            replace={"frontier": frontier_next, "domain_state": dom_next},
+            replace={"domain_state": dom_next},
             append=appends,
             scalars=scalars,
+            mutate={"frontier": ("seq", delete_keys, new_rows)},
         )
         trace('commit')
+        if self.bloom is not None and self.bloom.n_added > self.bloom.capacity:
+            # saturation regrow: rebuild at 2× the committed seen count so
+            # the FPR stays near target instead of drifting toward 1
+            self._rebuild_bloom()
         for df in (popped, fetched, links_raw, candidates, fresh, frontier_next):
             df.unpersist()
         if denied is not None:

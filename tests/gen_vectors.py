@@ -1,16 +1,53 @@
 """Generate golden fingerprint vectors (FIXTURES §A.6).
 
+Expected digests are computed by ``_upstream_fingerprint`` below — a
+straight-line transcription of public Scrapy ≥2.7
+``scrapy/utils/request.py::fingerprint`` (headers key always present,
+``json.dumps(..., sort_keys=True)`` with DEFAULT separators) — NOT by
+calling the package's own ``fingerprint``, so the vectors cross-check the
+serialization layout against the upstream spec instead of pinning whatever
+the package happens to do. URL canonicalization itself is verified
+separately against public w3lib vectors (tests/test_urlnorm.py).
+
 When the reference mount is re-pinned, vectors from the reference's
 tests/test_utils_request.py replace these verbatim (SURVEY §7 task 0).
-Until then the vectors pin OUR digests so drift is caught.
 
 Run: python tests/gen_vectors.py
 """
 
+import hashlib
 import json
 import pathlib
 
-from scrapy_spark.functions.fingerprint import fingerprint_hex
+from scrapy_spark.functions.urlnorm import canonicalize_url
+
+
+def _upstream_fingerprint(
+    url: str,
+    method: str = "GET",
+    body: bytes = b"",
+    headers: dict | None = None,
+    include_headers: list[str] | None = None,
+    keep_fragments: bool = False,
+) -> str:
+    """Verbatim upstream Scrapy ≥2.7 fingerprint layout (utils/request.py):
+    lowercase header names sorted, list-valued; headers dict ALWAYS emitted;
+    default json separators."""
+    hdrs: dict[str, list[str]] = {}
+    if include_headers and headers:
+        lowered = {k.lower(): v for k, v in headers.items()}
+        for name in sorted(h.lower() for h in include_headers):
+            if name in lowered:
+                v = lowered[name]
+                hdrs[name] = v if isinstance(v, list) else [str(v)]
+    fingerprint_data = {
+        "method": method,
+        "url": canonicalize_url(url, keep_fragments=keep_fragments),
+        "body": (body or b"").hex(),
+        "headers": hdrs,
+    }
+    fingerprint_json = json.dumps(fingerprint_data, sort_keys=True)
+    return hashlib.sha1(fingerprint_json.encode()).hexdigest()
 
 CASES = [
     dict(url="http://www.example.com/", method="GET", body=b""),
@@ -57,10 +94,10 @@ def main() -> None:
             "include_headers": case.get("include_headers"),
             "keep_fragments": case.get("keep_fragments", False),
         }
-        rec["expected_fp_hex"] = fingerprint_hex(
+        rec["expected_fp_hex"] = _upstream_fingerprint(
             rec["url"],
             method=rec["method"],
-            body=bytes.fromhex(rec["body_hex"]) or None,
+            body=bytes.fromhex(rec["body_hex"]),
             headers=rec["headers"],
             include_headers=rec["include_headers"],
             keep_fragments=rec["keep_fragments"],

@@ -1,0 +1,193 @@
+"""Training-data pipeline operator correctness (SURVEY §2 datapipe rows).
+
+Unit-level evidence for the sketch/ANN operators whose driver-oracle
+coverage is probabilistic or impossible:
+
+- MinHash / SimHash / winnowing: hand-checkable small-corpus behavior
+  (the full md5-replica DuckDB oracles run in the driver contract).
+- ANN (multi-table SRP LSH + IVF): measured recall vs exact kNN, and the
+  IVF exactness property nprobe=ncells ⇒ identical to brute force.
+- cosine_near_dup_lsh: exact equality with the brute-force baseline on a
+  corpus with planted jittered near-dups (recall 1.0 at the threshold).
+- image decode: mapInPandas metadata equals the synthesis ground truth
+  for every row (the codec is deterministic).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_spark.datapipe.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_near_dups,
+)
+from scrapy_spark.datapipe.similarity import (
+    cosine_near_dup_lsh,
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_ann_topk,
+)
+from scrapy_spark.datapipe.text import winnow_fingerprints
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # = 1
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # ~ 1
+        (4, "completely different content about spark shuffles and joins"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dup_groups(docs):
+    out = {r.content_hash: r for r in exact_dup_groups(docs).collect()}
+    dup = [r for r in out.values() if r.n_copies == 2]
+    assert len(dup) == 1 and dup[0].keep_id == 1
+
+
+def test_jaccard_pairs_paths_identical(docs):
+    def key(rows):
+        return sorted((r.id_a, r.id_b, r.common, r.jaccard) for r in rows)
+
+    on = key(jaccard_pairs(docs, threshold=0.3, prefix_filter=True).collect())
+    off = key(jaccard_pairs(docs, threshold=0.3, prefix_filter=False).collect())
+    auto = key(jaccard_pairs(docs, threshold=0.3, prefix_filter="auto").collect())
+    assert on == off == auto
+    pairs = {(a, b): j for a, b, _, j in on}
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert 0.3 <= pairs[(1, 3)] < 1.0  # one-word edit
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_identical_docs_land_in_same_bucket(docs):
+    out = {(r.id_a, r.id_b): r.est_jaccard for r in
+           minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0  # identical signature, every band matches
+    # the one-word edit has high true jaccard; the 64-hash estimate must
+    # find it above the 0.5 LSH threshold too
+    assert (1, 3) in out
+
+
+def test_minhash_estimate_tracks_true_jaccard(docs):
+    sig = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
+    est = sum(1 for x, y in zip(sig[1], sig[3]) if x == y) / 64.0
+    true_j = {(r.id_a, r.id_b): r.jaccard for r in
+              jaccard_pairs(docs, threshold=0.0, prefix_filter=False).collect()}[(1, 3)]
+    assert abs(est - true_j) < 0.2  # 64 hashes ⇒ σ≈0.06, 3σ bound
+
+
+def test_simhash_hamming(docs):
+    sh = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert sh[1] == sh[2] and sh[5] == 0
+    out = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_near_dups(docs, max_hamming=10).collect()}
+    assert out[(1, 2)] == 0
+    assert (1, 4) not in out  # different content: no band collision or far
+
+
+def test_winnow_fingerprints(docs):
+    fps = {r.doc_id: r.fingerprints for r in winnow_fingerprints(docs).collect()}
+    assert fps[1] == fps[2] and fps[1] == sorted(set(fps[1]))
+    assert fps[5] == []
+    # one-word edit: shares some spans, not all
+    shared = set(fps[1]) & set(fps[3])
+    assert shared and set(fps[1]) != set(fps[3])
+
+
+def test_ann_lsh_recall_vs_exact_knn(emb):
+    exact = set(
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, emb, k=5).select("query_id", "neighbor_id").collect()
+    )
+    ann = set(
+        (r.query_id, r.neighbor_id)
+        for r in lsh_ann_topk(emb, k=5, nbits=6, ntables=48)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.85, f"LSH ANN recall {recall:.3f} < 0.85"
+
+
+def test_ivf_recall_and_exactness_at_full_probe(emb):
+    exact = set(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in cosine_topk(emb, emb, k=5).collect()
+    )
+    part = set(
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, k=5, ncells=16, nprobe=4)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    recall = len(set((q, n) for q, n, _, _ in exact) & part) / len(exact)
+    assert recall >= 0.5, f"IVF nprobe=4/16 recall {recall:.3f} < 0.5"
+    # probing every cell must reproduce brute force EXACTLY
+    full = set(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivf_topk(emb, k=5, ncells=16, nprobe=16).collect()
+    )
+    assert full == exact
+
+
+def test_near_dup_lsh_equals_brute_force_on_planted_dups(emb):
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    jit = base.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.05) * ((i % 2) * 2 - 1)),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(jit)
+    brute = set(map(tuple, cosine_pairs(corpus, threshold=0.99).collect()))
+    lsh = set(map(tuple, cosine_near_dup_lsh(corpus, threshold=0.99).collect()))
+    assert len(brute) == 100  # each jittered copy pairs with its original
+    assert lsh == brute  # recall exactly 1.0 at the near-dup threshold
+
+
+def test_image_decode_meta_matches_synthesis_ground_truth(spark):
+    from scrapy_spark.datapipe.multimodal import decode_image_meta
+    from scrapy_spark.functions.imaging import (
+        decode_image,
+        encode_image,
+        phash64,
+        synth_image,
+    )
+    from scrapy_spark.sources.corpus import synth_corpus_df
+
+    ids = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    meta = {
+        r.image_id: r
+        for r in decode_image_meta(synth_corpus_df(ids, "doc_id")).collect()
+    }
+    assert len(meta) == 200
+    for raw_id in range(200):
+        iid = f"img{raw_id:010d}"
+        arr = synth_image(iid)
+        fmt = "rawrgb" if raw_id % 5 < 3 else "qrgb"
+        # ground truth runs the same decode the executor ran: for the
+        # lossy qrgb codec the phash is of the DECODED pixels
+        dec, _ = decode_image(encode_image(arr, fmt))
+        got = meta[iid]
+        assert got.decode_ok and got.fmt == fmt
+        assert (got.w, got.h) == (arr.shape[1], arr.shape[0])
+        assert got.phash == phash64(dec)

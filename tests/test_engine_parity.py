@@ -109,6 +109,31 @@ def test_both_terminate_with_empty_frontier(parity_run):
     assert eng.stats_log[-1].epoch + 1 == sim.epochs_run
 
 
+def test_allow_deny_link_patterns_parity(spark):
+    """F8 LxmlLinkExtractor allow/deny URL regexes (ref: linkextractors/
+    lxmlhtml.py::_link_allowed ≈L90): allow drops the /r/ redirect aliases,
+    deny drops a /p/7* slice — pop order AND the allow//deny drop metrics
+    must match the simulator exactly, and both filters must actually fire."""
+    fix = relaxed_fixture()
+    cfg = CrawlConfig(
+        **{
+            **FAST_CFG,
+            "allow_url_patterns": (r"/p/", r"file\.zip"),
+            "deny_url_patterns": (r"/p/7",),
+        }
+    )
+    sim, eng, store = run_both(spark, fix, cfg)
+    assert sim.metrics.get("allow/filtered", 0) > 0
+    assert sim.metrics.get("deny/filtered", 0) > 0
+    expected = pop_order_frame(sim).sort_values(["epoch", "rank"]).reset_index(drop=True)
+    got = spark_pop_order(store)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+    m = store.read("metrics").toPandas()
+    agg = m[m.partition_id == -1].groupby("key")["value"].sum().to_dict()
+    assert agg.get("allow/filtered", 0) == sim.metrics["allow/filtered"]
+    assert agg.get("deny/filtered", 0) == sim.metrics["deny/filtered"]
+
+
 def test_full_politeness_parity_prefix(spark):
     """Original (strict) politeness table, LIFO + downloader-aware, crawl
     capped by page count — validates the politeness watermark + queue-order

@@ -59,6 +59,33 @@ def test_headers_ignored_unless_included():
     assert included2 == included
 
 
+def test_upstream_27_json_layout_literal():
+    """The 2.7 digest must be SHA1 of the EXACT upstream payload: sorted
+    keys, default json separators, and a headers key that is always present
+    (empty object when no include_headers) — scrapy/utils/request.py
+    ``json.dumps(fingerprint_data, sort_keys=True)``."""
+    import hashlib
+
+    payload = (
+        '{"body": "", "headers": {}, "method": "GET", '
+        '"url": "http://x.example/p"}'
+    )
+    assert fingerprint("http://x.example/p") == hashlib.sha1(payload.encode()).digest()
+
+    payload_hdr = (
+        '{"body": "783d31", "headers": {"accept": ["text/html"]}, '
+        '"method": "POST", "url": "http://x.example/p"}'
+    )
+    got = fingerprint(
+        "http://x.example/p",
+        method="POST",
+        body=b"x=1",
+        headers={"Accept": "text/html"},
+        include_headers=["Accept"],
+    )
+    assert got == hashlib.sha1(payload_hdr.encode()).digest()
+
+
 def test_legacy_differs_from_modern():
     url = "http://x.example/p"
     assert fingerprint(url) != fingerprint_legacy(url)

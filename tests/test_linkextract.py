@@ -82,3 +82,38 @@ def test_explode_page_links_spark(spark):
     assert ("http://page.example/p/1", "http://base.example/abs") in rows
     assert all(u != "http://page.example/p/2" for u, _ in rows)  # no-link page → 0 rows
     assert "html" not in out.columns
+
+
+def test_restrict_css_subset():
+    """F8 restrict_css analog (ref: lxmlhtml.py restrict_css ≈L150):
+    only links under a matching ancestor are extracted; the documented
+    selector subset is tag / .class / #id / tag.class / tag#id."""
+    from scrapy_spark.functions.linkextract import extract_links_from_html
+
+    html = """
+    <html><body>
+      <div class="nav boxed"><a href="/nav1">n</a><a href="/nav2">n</a></div>
+      <div id="content"><p><a href="/story">s</a></p></div>
+      <footer><a href="/foot">f</a></footer>
+    </body></html>
+    """
+    base = "http://x.example/p"
+    all_links = extract_links_from_html(html, base)
+    assert len(all_links) == 4
+    nav = extract_links_from_html(html, base, restrict_css=("div.nav",))
+    assert nav == ["http://x.example/nav1", "http://x.example/nav2"]
+    content = extract_links_from_html(html, base, restrict_css=("#content",))
+    assert content == ["http://x.example/story"]
+    both = extract_links_from_html(html, base, restrict_css=("div.nav", "footer"))
+    assert both == [
+        "http://x.example/nav1",
+        "http://x.example/nav2",
+        "http://x.example/foot",
+    ]
+    # the anchor itself can be the selected element
+    direct = extract_links_from_html(
+        '<a class="cta" href="/go">g</a><a href="/skip">s</a>',
+        base,
+        restrict_css=("a.cta",),
+    )
+    assert direct == ["http://x.example/go"]

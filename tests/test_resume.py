@@ -45,12 +45,15 @@ class DyingStore(ParquetStore):
         super().__init__(spark, root)
         self.kill_epoch = kill_epoch
 
-    def commit(self, epoch, replace, append, scalars) -> None:
+    def commit(self, epoch, replace, append, scalars, mutate=None) -> None:
         if epoch == self.kill_epoch:
             for name, df in {**replace, **append}.items():
                 self._write(epoch, name, df)  # orphaned partial state
+            for name, (_key, dels, ins) in (mutate or {}).items():
+                self._write(epoch, f"{name}_del", dels)  # orphaned deltas
+                self._write(epoch, f"{name}_ins", ins)
             raise Killed(f"simulated SIGKILL during commit of epoch {epoch}")
-        super().commit(epoch, replace, append, scalars)
+        super().commit(epoch, replace, append, scalars, mutate)
 
 
 def relaxed_fixture():

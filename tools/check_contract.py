@@ -31,10 +31,15 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """EXACT stringify normalization — replicates the driver's hash input.
+
+    The driver sorts columns by name, stringifies every cell, and hashes —
+    with NO float tolerance and NO dtype coercion. A float64 ``253942.0``
+    vs int64 ``253942`` therefore MUST fail here (it failed the round-1
+    driver hash while a tolerant local gate said OK — never again)."""
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
-        if pdf[c].dtype == object:
-            pdf[c] = pdf[c].astype(str)
+        pdf[c] = pdf[c].map(lambda v: "NULL" if pd.isna(v) else str(v))
     pdf = pdf.sort_values(list(pdf.columns), ignore_index=True)
     return pdf
 
@@ -49,11 +54,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     if len(s) == len(d):
         for c in s.columns:
-            sc, dc = s[c], d[c].astype(s[c].dtype, errors="ignore")
-            if pd.api.types.is_float_dtype(sc):
-                bad = ~((sc - dc.astype(float)).abs() < 1e-9) & ~(sc.isna() & dc.isna())
-            else:
-                bad = sc.astype(str) != dc.astype(str)
+            bad = s[c] != d[c]
             if bad.any():
                 i = bad.idxmax()
                 errs.append(
