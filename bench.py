@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
     "knn_cosine_topk",
     "ann_lsh_topk",
     "text_quality_score",

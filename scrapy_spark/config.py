@@ -28,6 +28,16 @@ class CrawlConfig:
     download_delay_ms: int = 0  # DOWNLOAD_DELAY (ms here; ref uses seconds)
     randomize_delay: bool = False  # RANDOMIZE_DOWNLOAD_DELAY — off for parity
 
+    # --- fetch backend (ref: core/downloader/handlers — handler choice) --
+    # "synthetic": deterministic fixture-join fetcher (parity/bench);
+    # "http": real network fetch via operators/netfetch.py (thread-pooled
+    # stdlib client, per-slot caps). Links then come from the fetched HTML
+    # bodies (C6+C7+C13) and image payloads become items.
+    fetch_backend: str = "synthetic"
+    download_timeout_s: float = 30.0  # DOWNLOAD_TIMEOUT
+    download_maxsize: int = 10 * 1024 * 1024  # DOWNLOAD_MAXSIZE
+    user_agent: str = "scrapy-spark/2.0"  # USER_AGENT
+
     # --- robots (ref: downloadermiddlewares/robotstxt.py) ------------
     robotstxt_obey: bool = True  # ROBOTSTXT_OBEY (ref default False; our
     # engine defaults on because the north_rule names robots gating)

@@ -102,35 +102,40 @@ def jaccard_pairs(
     inverted index — cheaper when shingle frequencies are near-uniform
     (synthetic corpora), quadratic-on-hot-shingles at web scale. Both
     paths return identical rows. The default ``"auto"`` decides from the
-    posting-list statistics themselves: the naive join's cost is exactly
-    Σf² over shingle frequencies f, so when the frequency-weighted mean
-    posting length Σf²/Σf is small (uniform corpus) the two extra
-    shuffles of the prefix pass cost more than they save; when any hot
-    shingle drives Σf²/Σf up, the prefix filter wins. One tiny agg scan
-    (3 longs to the driver) buys the decision.
+    posting-list statistics: the verify stage (array_intersect over full
+    shingle sets) is priced per CANDIDATE PAIR, and candidate volume
+    grows with the frequency-weighted mean posting length Σf²/Σf — when
+    it's small (≈2 at sf0.01: naive measured faster) the prefix pass's
+    two extra shuffles cost more than they save; when postings repeat
+    (≈11 at sf0.1: prefix measured 23.7s vs naive 29.1s; unbounded on web
+    corpora where 'the of and' posts everywhere) the prefix filter wins.
+    Break-even ≈8 from those measurements. One tiny agg scan (2 longs to
+    the driver) buys the decision.
 
     Returns (id_a, id_b, common, jaccard) with id_a < id_b.
     """
     from pyspark.sql import Window
 
     sh = shingles(df, id_col, text_col, n)
+    freq = None
     if prefix_filter == "auto":
-        stats = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("f"))
-            .agg(
-                F.sum(F.col("f") * F.col("f")).alias("sum_f2"),
-                F.sum("f").alias("sum_f"),
-            )
-            .collect()[0]
-        )
-        # naive-join work per posting row ≈ Σf²/Σf; the prefix pass adds
-        # ~3 scans + 2 shuffles of the posting list ⇒ break-even ≈ 8.
+        # the frequency table IS the prefix pass's first stage — cache it
+        # so the decision scan isn't paid twice when prefix wins
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f")).cache()
+        stats = freq.agg(
+            F.sum(F.col("__f") * F.col("__f")).alias("sum_f2"),
+            F.sum("__f").alias("sum_f"),
+        ).collect()[0]
+        # weighted mean posting length Σf²/Σf ≈ candidates per posting
+        # row; break-even ≈8 (measured at sf0.01 and sf0.1, see docstring)
         prefix_filter = bool(
             stats.sum_f and (stats.sum_f2 / stats.sum_f) > 8.0
         )
+        if not prefix_filter:
+            freq.unpersist()
     if prefix_filter:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+        if freq is None:
+            freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
         w_doc = Window.partitionBy(id_col).orderBy(F.asc("__f"), F.asc("shingle"))
         ranked = (
             sh.join(freq, "shingle")

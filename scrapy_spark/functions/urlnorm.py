@@ -30,6 +30,7 @@ fingerprint (ref behavior: scrapy/dupefilters.py ≈L55 depends on it).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import (
     quote,
     unquote_to_bytes,
@@ -72,8 +73,18 @@ def _parse_qsl_to_bytes(
                 continue
             nv.append("")
         if nv[1] or keep_blank_values:
-            name = unquote_to_bytes(nv[0].replace("+", " "))
-            value = unquote_to_bytes(nv[1].replace("+", " "))
+            # '%'/'+'-free pairs (the common case) skip unquote entirely
+            k, v = nv[0], nv[1]
+            name = (
+                k.encode("ascii")
+                if "%" not in k and "+" not in k and k.isascii()
+                else unquote_to_bytes(k.replace("+", " "))
+            )
+            value = (
+                v.encode("ascii")
+                if "%" not in v and "+" not in v and v.isascii()
+                else unquote_to_bytes(v.replace("+", " "))
+            )
             out.append((name, value))
     return out
 
@@ -111,6 +122,46 @@ def _fast_canonical(url: str) -> bool:
     return keyvals == sorted(keyvals)
 
 
+# --- slow-path accelerators (pure prechecks; semantics unchanged) ---------
+# a string fully inside the safe+unreserved set passes quote() untouched —
+# one C-regex fullmatch replaces a Python/quote round trip
+_PATH_NOOP_RE = re.compile(r"[A-Za-z0-9_.~:/?\[\]@!$&'()*+,;=|%-]*\Z")
+_SAFE_NOOP_RE = re.compile(r"[A-Za-z0-9_.~:/?#\[\]@!$&'()*+,;=|%-]*\Z")
+# quote_plus leaves exactly alnum + "_.-~" alone (bytes → str verbatim)
+_QPLUS_NOOP_RE = re.compile(rb"[A-Za-z0-9_.~-]*\Z")
+
+
+def _quote_component(s: str, safe: str, noop_re) -> str:
+    if noop_re.match(s):
+        return s
+    return quote(s.encode("utf-8"), safe=safe)
+
+
+@lru_cache(maxsize=4096)
+def _idna_netloc(netloc: str) -> str:
+    """w3lib _safe_ParseResult netloc step, memoized — crawls hit the same
+    handful of hosts millions of times. IDNA-encode when every label is
+    encodable (pure-ASCII 1-63-char labels pass through unchanged); raw on
+    UnicodeError (empty/overlong labels). Lowered + bare-colon-stripped."""
+    try:
+        out = netloc.encode("idna").decode("ascii")
+    except UnicodeError:
+        out = netloc
+    return out.lower().rstrip(":")
+
+
+def _urlencode_sorted(keyvals: list[tuple[bytes, bytes]]) -> str:
+    """``urlencode`` over sorted bytes pairs with a quote_plus fast path
+    for the all-safe common case (alnum keys/values) — same output."""
+    out = []
+    for k, v in keyvals:
+        if _QPLUS_NOOP_RE.match(k) and _QPLUS_NOOP_RE.match(v):
+            out.append(k.decode("ascii") + "=" + v.decode("ascii"))
+        else:
+            out.append(urlencode([(k, v)]))
+    return "&".join(out)
+
+
 def canonicalize_url(
     url: str,
     *,
@@ -127,31 +178,28 @@ def canonicalize_url(
         parts = urlparse(url)
     except ValueError:
         return url
-    # w3lib _safe_ParseResult: IDNA-encode the whole netloc when every label
-    # is encodable (pure-ASCII 1-63-char labels pass through unchanged);
-    # fall back to the raw netloc on UnicodeError (empty/overlong labels).
-    try:
-        netloc = parts.netloc.encode("idna").decode("ascii")
-    except UnicodeError:
-        netloc = parts.netloc
-    # Each component is first made %-safe exactly as _safe_ParseResult does.
-    path = quote(parts.path.encode("utf-8"), safe=_PATH_SAFE)
-    params = quote(parts.params.encode("utf-8"), safe=_PATH_SAFE)
-    query = quote(parts.query.encode("utf-8"), safe=_SAFE_CHARS)
-    fragment = quote(parts.fragment.encode("utf-8"), safe=_SAFE_CHARS)
+    netloc = _idna_netloc(parts.netloc)
+    # Each component is first made %-safe exactly as _safe_ParseResult does
+    # (no-op precheck: all-safe strings skip the quote round trip).
+    path = _quote_component(parts.path, _PATH_SAFE, _PATH_NOOP_RE)
+    params = _quote_component(parts.params, _PATH_SAFE, _PATH_NOOP_RE)
+    query = _quote_component(parts.query, _SAFE_CHARS, _SAFE_NOOP_RE)
 
     keyvals = _parse_qsl_to_bytes(query, keep_blank_values)
     keyvals.sort()
-    query = urlencode(keyvals)
+    query = _urlencode_sorted(keyvals)
 
-    path = quote(_unquote_path_keep_reserved(path), safe=_PATH_SAFE) or "/"
-    fragment = "" if not keep_fragments else fragment
+    if "%" in path:
+        path = quote(_unquote_path_keep_reserved(path), safe=_PATH_SAFE)
+    path = path or "/"
+    if keep_fragments:
+        fragment = _quote_component(parts.fragment, _SAFE_CHARS, _SAFE_NOOP_RE)
+    else:
+        fragment = ""
 
     # w3lib lowercases the netloc and strips only a BARE trailing colon
     # (empty port) — default ports like :80 are preserved.
-    return urlunparse(
-        (parts.scheme, netloc.lower().rstrip(":"), path, params, query, fragment)
-    )
+    return urlunparse((parts.scheme, netloc, path, params, query, fragment))
 
 
 def parse_domain(url: str) -> str:

@@ -108,11 +108,13 @@ class ShardedBloom:
 
         return _maybe_seen
 
-    def absorb_df(self, df, fp_col: str = "fp") -> None:
+    def absorb_df(self, df, fp_col: str = "fp") -> int:
         """Insert every fp in ``df`` WITHOUT collecting them: per-partition
         bit-arrays are built executor-side with THIS filter's exact sizing
         and OR-merged via treeReduce — the driver receives only the merged
-        uint64 arrays. Bit-identical to add_many over the same fps."""
+        uint64 arrays. Bit-identical to add_many over the same fps.
+        Returns the number of fps absorbed (the same action doubles as the
+        row count, saving the caller a separate count() job)."""
         sizing = (self.m, self.k, self.shards)
 
         def partition_bits(rows):
@@ -127,9 +129,10 @@ class ShardedBloom:
         try:
             bits, n = parts.treeReduce(merge)
         except ValueError:  # empty RDD
-            return
+            return 0
         np.bitwise_or(self.bits, bits, out=self.bits)
         self.n_added += n
+        return n
 
 
 def _bare_bloom(m: int, k: int, shards: int) -> ShardedBloom:

@@ -1,0 +1,279 @@
+"""Real network fetch path (SURVEY §2.1 S2/S3; ref:
+core/downloader/handlers/http11.py ≈L40).
+
+The round-1 gap: the fetch stage was a documented seam with only the
+synthetic in-sandbox fetcher behind it. This module is the production
+operator: popped frontier rows → ``mapInPandas`` → per-partition thread
+pool issuing real HTTP requests — stdlib ``urllib`` (no extra deps; an
+aiohttp/HTTP-2 client can be slotted into ``_fetch_one`` when available,
+import-gated like the reference's optional deps).
+
+Semantics mirrored from the reference downloader:
+
+- redirects are NOT followed — the 30x response is returned with its
+  Location header and the ENGINE re-queues the child request
+  (RedirectMiddleware, SEMANTICS 7), exactly like the reference's
+  handler/middleware split;
+- per-slot concurrency is capped inside each partition with per-slot
+  semaphores (CONCURRENT_REQUESTS_PER_DOMAIN); politeness DELAY stays in
+  the engine's watermark join — the fetcher only bounds parallelism;
+- DOWNLOAD_MAXSIZE / DOWNLOAD_TIMEOUT analogs truncate / fail a request
+  without killing the batch; every failure comes back as a row with
+  ``error`` set, never an exception (ref: errback path).
+
+Scale shape: at cluster scale call ``repartition_by_slot`` first so a
+slot's cap is enforced once, not once per partition; hot slots stay
+bounded by the semaphore and everything else in the partition proceeds —
+the thread pool is the natural async substrate for latency-bound I/O
+(32 threads/partition ≈ 32-way overlap with zero CPU cost while blocked).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+import time
+import urllib.error
+import urllib.request
+from collections import defaultdict
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.BinaryType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("slot", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("body", T.BinaryType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_encoding", T.StringType()),
+        T.StructField("location", T.StringType()),
+        T.StructField("latency_ms", T.LongType()),
+        T.StructField("truncated", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    """Return the 30x itself instead of following it (the engine owns
+    redirect semantics, like RedirectMiddleware does upstream)."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        return None
+
+
+def _fetch_one(
+    url: str,
+    timeout_s: float,
+    maxsize: int,
+    user_agent: str,
+) -> tuple[int, bytes, dict, bool, str | None]:
+    """→ (status, body, headers, truncated, error). Never raises."""
+    req = urllib.request.Request(
+        url,
+        headers={"User-Agent": user_agent, "Accept-Encoding": "gzip, deflate"},
+    )
+    opener = urllib.request.build_opener(_NoRedirect)
+    try:
+        with opener.open(req, timeout=timeout_s) as resp:
+            body = resp.read(maxsize + 1)
+            truncated = len(body) > maxsize
+            return resp.status, body[:maxsize], dict(resp.headers), truncated, None
+    except urllib.error.HTTPError as e:  # 30x/4xx/5xx: still a response
+        body = e.read(maxsize + 1) if e.fp else b""
+        return e.code, body[:maxsize], dict(e.headers), len(body) > maxsize, None
+    except Exception as e:  # noqa: BLE001 — DNS/conn/timeout → error row
+        return 0, b"", {}, False, f"{type(e).__name__}: {e}"
+
+
+def http_fetch(
+    requests: DataFrame,
+    url_col: str = "url",
+    slot_col: str = "slot",
+    concurrent_per_slot: int = 8,
+    pool_size: int = 32,
+    timeout_s: float = 30.0,
+    maxsize: int = 10 * 1024 * 1024,  # DOWNLOAD_MAXSIZE flavor
+    user_agent: str = "scrapy-spark/2.0",
+    repartition_by_slot: bool = False,
+) -> DataFrame:
+    """Fetch every row's URL; returns FETCH_SCHEMA rows 1:1 with input.
+
+    ``repartition_by_slot=True`` co-locates each politeness slot in one
+    partition so the per-slot cap is global — required on a multi-
+    executor cluster, unnecessary in one-partition tests."""
+    if repartition_by_slot:
+        requests = requests.repartition(F.col(slot_col))
+    cols = requests.select(
+        F.col("fp"), F.col(url_col).alias("url"), F.col(slot_col).alias("slot")
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sems: dict[str, threading.Semaphore] = defaultdict(
+            lambda: threading.Semaphore(concurrent_per_slot)
+        )
+
+        def work(fp, url, slot):
+            sem = sems[slot]
+            with sem:
+                t0 = time.monotonic()
+                status, body, headers, truncated, error = _fetch_one(
+                    url, timeout_s, maxsize, user_agent
+                )
+                latency = int((time.monotonic() - t0) * 1000)
+            lower = {k.lower(): v for k, v in headers.items()}
+            return (
+                fp,
+                url,
+                slot,
+                status,
+                body,
+                lower.get("content-type"),
+                lower.get("content-encoding"),
+                lower.get("location"),
+                latency,
+                truncated,
+                error,
+            )
+
+        with cf.ThreadPoolExecutor(max_workers=pool_size) as pool:
+            for pdf in batches:
+                futs = [
+                    pool.submit(work, bytes(r.fp), r.url, r.slot)
+                    for r in pdf.itertuples()
+                ]
+                rows = [f.result() for f in futs]
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in FETCH_SCHEMA.fields]
+                )
+
+    return cols.mapInPandas(_run, schema=FETCH_SCHEMA)
+
+
+# ----------------------------------------------------- engine integration
+@F.pandas_udf(T.StringType())
+def _urljoin_udf(urls: pd.Series, locations: pd.Series) -> pd.Series:
+    """Resolve a Location header against the request URL — full RFC 3986
+    reference resolution (relative paths included), like the reference's
+    ``response.urljoin`` in RedirectMiddleware."""
+    from urllib.parse import urljoin
+
+    return pd.Series(
+        [
+            urljoin(u, loc) if loc else None
+            for u, loc in zip(urls, locations)
+        ]
+    )
+
+
+def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
+    """Adapt ``http_fetch`` to the engine's fetched-batch contract
+    (operators/fetch.py::synthetic_fetch shape): adds image_id (the
+    url_canon of image responses — their payload becomes the item),
+    redirect_to (Location resolved against the request URL), status,
+    latency_ms, fetched_at, plus the body columns the html/items branches
+    consume. Network errors surface as status 0 (retryable, like the
+    reference's connection-error retry path)."""
+    raw = http_fetch(
+        to_fetch,
+        concurrent_per_slot=cfg.concurrent_per_domain,
+        timeout_s=cfg.download_timeout_s,
+        maxsize=cfg.download_maxsize,
+        user_agent=cfg.user_agent,
+    ).select(
+        "fp", "status", "body", "content_type", "content_encoding",
+        "location", "latency_ms",
+    )
+    # the frontier's own `status` column ('QUEUED') is superseded by the
+    # HTTP status, exactly as synthetic_fetch overwrites it
+    joined = to_fetch.drop("status").join(raw, "fp")
+    is_image = F.col("content_type").startswith("image/") | (
+        # the deterministic sandbox codecs carry their own magic, served
+        # as octet-stream by plain file servers
+        F.col("content_type") == "application/octet-stream"
+    )
+    return (
+        joined.withColumn(
+            "redirect_to", _urljoin_udf(F.col("url"), F.col("location"))
+        )
+        .withColumn(
+            "image_id",
+            F.when((F.col("status") == 200) & is_image, F.col("url_canon")),
+        )
+        .withColumn("fetched_at", (F.lit(epoch_ts) + F.col("latency_ms")).cast("long"))
+    )
+
+
+def html_pages(done: DataFrame) -> DataFrame:
+    """200-status text/html rows → decoded unicode ``html`` column (the
+    C7 decompress + C6 charset-detect pipeline, Arrow-batched)."""
+    from ..functions.http import decode_response_text
+
+    @F.pandas_udf(T.StringType())
+    def _decode(body: pd.Series, ctype: pd.Series, cenc: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                decode_response_text(bytes(b) if b is not None else b"", t, e)
+                for b, t, e in zip(body, ctype, cenc)
+            ]
+        )
+
+    return done.filter(
+        F.col("content_type").startswith("text/html")
+    ).withColumn(
+        "html",
+        _decode(F.col("body"), F.col("content_type"), F.col("content_encoding")),
+    )
+
+
+def payload_items(done_images: DataFrame, epoch: int) -> DataFrame:
+    """Image responses → ITEMS-shaped rows: decode the fetched bytes with
+    the repo codec (Pillow on a real cluster, imaging.py `_HAS_PIL`) for
+    (w, h, fmt, phash); undecodable payloads are dropped, as the
+    reference's ImagesPipeline drops corrupt downloads."""
+    from ..functions.imaging import decode_image, phash64
+    from ..plans import schemas
+
+    cols = ["image_id", "body", "fp"]
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, body, fp in zip(pdf.image_id, pdf.body, pdf.fp):
+                try:
+                    arr, fmt = decode_image(bytes(body))
+                except (ValueError, NotImplementedError):
+                    continue
+                rows.append(
+                    (
+                        iid,
+                        bytes(body),
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        fmt,
+                        None,
+                        phash64(arr),
+                        bytes(fp),
+                        epoch,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schemas.ITEMS.fields]
+            )
+
+    return done_images.select(*cols).mapInPandas(_decode, schema=schemas.ITEMS)
+
+
+__all__ = [
+    "http_fetch",
+    "FETCH_SCHEMA",
+    "engine_fetch",
+    "html_pages",
+    "payload_items",
+]

@@ -52,8 +52,17 @@ class Store:
         append: dict[str, DataFrame],
         scalars: dict,
         mutate: dict[str, tuple[str, DataFrame, DataFrame]] | None = None,
+        resolved: dict[str, DataFrame] | None = None,
     ) -> None:
-        """``mutate[name] = (key_col, delete_keys_df, insert_df)``."""
+        """``mutate[name] = (key_col, delete_keys_df, insert_df)``.
+
+        ``resolved[name]`` optionally carries the caller's already-computed
+        post-mutation table (the engine builds frontier_next for its stats
+        anyway). Stores MAY use it instead of re-resolving the delta chain
+        — ParquetStore writes it at compaction time, MemoryStore (the
+        volatile bench store) checkpoints it directly. It MUST equal
+        resolve(base, deltas); the durability contract still rides on the
+        deltas."""
         raise NotImplementedError
 
     @property
@@ -105,7 +114,7 @@ class ParquetStore(Store):
         df.write.mode("overwrite").parquet(str(out))
         return str(out)
 
-    def commit(self, epoch, replace, append, scalars, mutate=None) -> None:
+    def commit(self, epoch, replace, append, scalars, mutate=None, resolved=None) -> None:
         tables = dict(self._manifest["tables"])
         for name, df in replace.items():
             tables[name] = [self._write(epoch, name, df)]
@@ -124,12 +133,16 @@ class ParquetStore(Store):
             entry["dels"].append(self._write(epoch, f"{name}_del", dels))
             entry["ins"].append(self._write(epoch, f"{name}_ins", ins))
             if len(entry["dels"]) >= COMPACT_EVERY:
-                # compaction: resolve and rewrite the base ONCE per
-                # COMPACT_EVERY epochs; the rewrite is the only full-table
-                # write and amortizes to 1/COMPACT_EVERY per epoch
+                # compaction: rewrite the base ONCE per COMPACT_EVERY
+                # epochs — from the caller's already-computed resolved
+                # table when given (saves re-resolving the chain), else
+                # by resolving the deltas; amortized 1/COMPACT_EVERY
+                src = (resolved or {}).get(name)
+                if src is None:
+                    src = self._resolve(entry)
                 entry = {
                     "key": key,
-                    "base": [self._write(epoch, name, self._resolve(entry))],
+                    "base": [self._write(epoch, name, src)],
                     "dels": [],
                     "ins": [],
                 }
@@ -193,7 +206,7 @@ class MemoryStore(Store):
             df = df.join(F.broadcast(d), key, "left_anti")
         return df
 
-    def commit(self, epoch, replace, append, scalars, mutate=None) -> None:
+    def commit(self, epoch, replace, append, scalars, mutate=None, resolved=None) -> None:
         for name, df in replace.items():
             self._tables[name] = df.localCheckpoint(eager=True)
             self._parts.pop(name, None)  # replace resets any deltas
@@ -201,6 +214,15 @@ class MemoryStore(Store):
         for name, df in append.items():
             self._parts.setdefault(name, []).append(df.localCheckpoint(eager=True))
         for name, (key, dels, ins) in (mutate or {}).items():
+            src = (resolved or {}).get(name)
+            if src is not None:
+                # volatile bench store: the caller's resolved table is
+                # checkpointed directly — one materialization per epoch,
+                # no delta chain to re-read (the MOR durability story is
+                # ParquetStore's; this store measures the scheduling core)
+                self._tables[name] = src.localCheckpoint(eager=True)
+                self._mor.pop(name, None)
+                continue
             if name in self._mor:
                 k, base, dl, il = self._mor[name]
             else:  # promote the replace-table to merge-on-read

@@ -25,6 +25,7 @@ from ..operators.dedupe import anti_join_seen, dedupe_within_epoch, with_bucket
 from ..operators.fetch import attach_payload, synthetic_fetch
 from ..operators.httpcache import split_cache_hits
 from ..operators.filters import split_links
+from ..functions.linkextract import explode_page_links
 from ..operators.parse import extract_links
 from ..operators.pop import rank_and_pop
 from ..operators.robots_gate import apply_robots_gate
@@ -248,7 +249,10 @@ class CrawlEngine:
         cfg, spark = self.cfg, self.spark
         ts = e * cfg.epoch_quantum_ms
         budget = cfg.epoch_budget or cfg.concurrent_requests
-        frontier = self.store.read("frontier")
+        # cache the MOR-resolved frontier for the epoch: the resolve
+        # (base ∪ delta-inserts, anti delete-keys) would otherwise be
+        # re-evaluated by every frontier-touching action this epoch
+        frontier = self.store.read("frontier").cache()
         dom = self.store.read("domain_state")
         url_seen = self.store.read("url_seen")
         next_seq = int(self.store.scalars["next_seq"])
@@ -297,8 +301,17 @@ class CrawlEngine:
         n_cache_hits = 0
         to_fetch = popped
         if cfg.httpcache_enabled:
+            if cfg.fetch_backend == "http":
+                raise ValueError("httpcache replay is not wired for the http backend")
             hits, to_fetch = split_cache_hits(popped, self.store.read("fetch_log"), ts)
-        fetched = synthetic_fetch(to_fetch, self.url_map, cfg, ts, self.redirect_map)
+        if cfg.fetch_backend == "http":
+            # real network fetch (operators/netfetch.py): same downstream
+            # contract; bodies ride along for the html/items branches
+            from ..operators.netfetch import engine_fetch
+
+            fetched = engine_fetch(to_fetch, cfg, ts)
+        else:
+            fetched = synthetic_fetch(to_fetch, self.url_map, cfg, ts, self.redirect_map)
         if cfg.httpcache_enabled and hits is not None:
             hits = hits.withColumn("redirect_to", F.lit(None).cast("string"))
             fetched = fetched.unionByName(
@@ -306,7 +319,12 @@ class CrawlEngine:
             )
             n_cache_hits = hits.count()
         fetched = fetched.withColumn("partition_id", F.spark_partition_id()).cache()
-        retryable = F.col("status").isin(list(cfg.retry_http_codes))
+        # status 0 = network/transport error (http backend) — retryable,
+        # like the reference's connection-error path (retry.py ≈L40);
+        # the synthetic fetcher never emits 0, so parity is unaffected
+        retryable = F.col("status").isin(list(cfg.retry_http_codes)) | (
+            F.col("status") == 0
+        )
         outcome = (
             F.when(
                 F.col("status") == 301,
@@ -364,8 +382,30 @@ class CrawlEngine:
             "dont_filter",
         ]
         # cached: the kept→identity branch and the drop-counts branch both
-        # consume links_raw — without the cache each re-scans the graph
-        links_raw = extract_links(done, self.graph, cfg).cache()
+        # consume links_raw — without the cache each re-scans the source
+        if cfg.fetch_backend == "http":
+            # links from the FETCHED HTML bodies: decompress + charset-
+            # detect (C6/C7) then extract (C13) — the real-crawl path
+            from ..operators.netfetch import html_pages
+
+            pages = html_pages(done).select(
+                "url_canon",
+                "html",
+                F.col("depth").alias("parent_depth"),
+                F.col("seq").alias("parent_seq"),
+                F.col("fp").alias("parent_fp"),
+            )
+            exploded = explode_page_links(pages, "html", "url_canon")
+            ldepth = F.col("parent_depth") + 1
+            links_raw = exploded.select(
+                F.col("dst_url").alias("url"),
+                ldepth.cast("int").alias("depth"),
+                (-ldepth * F.lit(cfg.depth_priority)).cast("int").alias("priority"),
+                "parent_seq",
+                "parent_fp",
+            ).cache()
+        else:
+            links_raw = extract_links(done, self.graph, cfg).cache()
         kept, drop_counts_df = split_links(links_raw, cfg)  # counts batched below
         trace('links_split')
         link_cand = (
@@ -414,7 +454,12 @@ class CrawlEngine:
         fresh = anti_join_seen(
             batch_unique, url_seen, self.bloom, n_candidates=n_filterable
         ).cache()
-        n_fresh = fresh.count()
+        if self.bloom is not None:
+            # one action: the executor-side bloom absorb's treeReduce
+            # doubles as the fresh-row count (no fp ever hits the driver)
+            n_fresh = self.bloom.absorb_df(fresh.select("fp"))
+        else:
+            n_fresh = fresh.count()
         n_dupes = n_filterable - n_fresh
         trace('dedupe+seen')
 
@@ -542,17 +587,23 @@ class CrawlEngine:
             F.lit(e).alias("epoch"),
             "partition_id",
         )
-        items = attach_payload(
-            done.select("image_id", "fp"), self.corpus
-        ).withColumn("epoch", F.lit(e)).select(*[f.name for f in schemas.ITEMS.fields])
+        if cfg.fetch_backend == "http":
+            # items = the actually-fetched image payloads, decoded for
+            # typed metadata (ImagesPipeline persistence analog)
+            from ..operators.netfetch import payload_items
+
+            items = payload_items(done.filter(F.col("image_id").isNotNull()), e)
+        else:
+            items = attach_payload(
+                done.select("image_id", "fp"), self.corpus
+            ).withColumn("epoch", F.lit(e)).select(
+                *[f.name for f in schemas.ITEMS.fields]
+            )
 
         seen_append = with_bucket(
             fresh.select("fp", F.lit(e).alias("epoch_added"))
         )
-        if self.bloom is not None and n_fresh:
-            # executor-side insert: partition bit-arrays OR-merged via
-            # treeReduce — the driver never sees a fingerprint (r1 item 5)
-            self.bloom.absorb_df(fresh.select("fp"))
+        # (bloom insert already happened in the absorb_df action above)
 
         # metrics (driver-side aggregate rows + per-partition lineage,
         # derived from the single outcome/partition action above)
@@ -610,13 +661,17 @@ class CrawlEngine:
             append=appends,
             scalars=scalars,
             mutate={"frontier": ("seq", delete_keys, new_rows)},
+            # frontier_next is computed for the queued_after stat anyway;
+            # stores use it to skip re-resolving the delta chain (MOR
+            # contract: it equals resolve(base, deltas) by construction)
+            resolved={"frontier": frontier_next},
         )
         trace('commit')
         if self.bloom is not None and self.bloom.n_added > self.bloom.capacity:
             # saturation regrow: rebuild at 2× the committed seen count so
             # the FPR stays near target instead of drifting toward 1
             self._rebuild_bloom()
-        for df in (popped, fetched, links_raw, candidates, fresh, frontier_next):
+        for df in (frontier, popped, fetched, links_raw, candidates, fresh, frontier_next):
             df.unpersist()
         if denied is not None:
             denied.unpersist()

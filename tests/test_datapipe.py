@@ -111,6 +111,11 @@ def test_winnow_fingerprints(docs):
 
 
 def test_ann_lsh_recall_vs_exact_knn(emb):
+    """Hard-corpus mode: isotropic random vectors (top-5 cosine ≈0.4 =
+    barely above noise). Recall is bought with many low-bit tables —
+    the config is deliberately expensive (≈brute-force candidate volume)
+    to show the recall math holds even here; production configs target
+    real neighbor structure (next test)."""
     exact = set(
         (r.query_id, r.neighbor_id)
         for r in cosine_topk(emb, emb, k=5).select("query_id", "neighbor_id").collect()
@@ -123,6 +128,31 @@ def test_ann_lsh_recall_vs_exact_knn(emb):
     )
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.85, f"LSH ANN recall {recall:.3f} < 0.85"
+
+
+def test_ann_lsh_planted_neighbors_economical_config(emb):
+    """Production operating point (16 bits × 8 tables ⇒ ~0.01% of pairs
+    become candidates): every planted near-copy must report its original
+    as the rank-1 neighbor — the contract q_ann_lsh_topk config."""
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    jit = base.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.05) * ((i % 2) * 2 - 1)),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(jit)
+    out = lsh_ann_topk(corpus, k=5, nbits=16, ntables=8)
+    rank1 = {
+        r.query_id: r.neighbor_id
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    for vid in range(100):
+        assert rank1.get(vid + 10000) == vid  # copy → original
+        assert rank1.get(vid) == vid + 10000  # original → copy
 
 
 def test_ivf_recall_and_exactness_at_full_probe(emb):

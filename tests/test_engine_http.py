@@ -1,0 +1,163 @@
+"""End-to-end REAL-NETWORK crawl: the full CrawlEngine (politeness,
+robots gate, dedupe, priority pop, retries, resume store) driving the
+``http`` fetch backend against a live loopback site — pages parsed from
+actually-fetched HTML (C6/C7/C13), image payloads persisted byte-exact as
+items (S9/S10), robots rules enforced (F2). This is the S2 'real fetch
+path' gap from round 1, closed at the ENGINE level, not just the
+operator level."""
+
+from __future__ import annotations
+
+import http.server
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_spark.config import CrawlConfig
+from scrapy_spark.functions.imaging import encode_image, phash64, synth_image
+from scrapy_spark.sources.store import MemoryStore
+from scrapy_spark.streaming.engine import CrawlEngine
+
+N_PAGES = 12  # /p/0 .. /p/11, binary-tree links: i → 2i+1, 2i+2
+
+
+class _Site(http.server.BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        if self.path.startswith("/p/"):
+            i = int(self.path.rsplit("/", 1)[1])
+            kids = [c for c in (2 * i + 1, 2 * i + 2) if c < N_PAGES]
+            links = "".join(f'<a href="/p/{c}">c</a>' for c in kids)
+            body = (
+                f"<html><body>{links}"
+                f'<a href="/img/{i}">img</a>'
+                f'<a href="/blocked/{i}">secret</a>'
+                "</body></html>"
+            ).encode()
+            ctype = "text/html; charset=utf-8"
+        elif self.path.startswith("/img/"):
+            i = int(self.path.rsplit("/", 1)[1])
+            body = encode_image(synth_image(f"img{i}"), "rawrgb")
+            ctype = "application/octet-stream"
+        elif self.path.startswith("/blocked/"):
+            body = b"should never be fetched"
+            ctype = "text/plain"
+        else:
+            self.send_response(404)
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def site():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Site)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_engine_crawls_real_site(spark, site):
+    import pandas as pd
+
+    cfg = CrawlConfig(
+        fetch_backend="http",
+        epoch_budget=64,
+        max_epochs=30,
+        depth_limit=8,
+        depth_priority=1,
+        queue_order="fifo",
+        download_timeout_s=10.0,
+    )
+    empty_urlmap = spark.createDataFrame([], "url_canon string, image_id string")
+    empty_graph = spark.createDataFrame([], "src_canon string, dst_url string")
+    robots = spark.createDataFrame(
+        [("127.0.0.1", "User-agent: *\nDisallow: /blocked\n")],
+        "domain string, rules string",
+    )
+    store = MemoryStore(spark)
+    eng = CrawlEngine(
+        spark, cfg, store,
+        url_map=empty_urlmap, graph=empty_graph, robots=robots,
+    )
+    eng.bootstrap(
+        pd.DataFrame({"url": [f"{site}/p/0"], "priority": [0]}),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}),
+    )
+    stats = eng.run()
+
+    # terminated with an exhausted frontier
+    assert stats[-1].queued_after == 0
+
+    # every page and every image was actually fetched over HTTP
+    log = store.read("fetch_log").toPandas()
+    fetched_paths = {u.split(":", 2)[-1].split("/", 1)[1] for u in log.url_canon}
+    assert {f"p/{i}" for i in range(N_PAGES)} <= fetched_paths
+    assert {f"img/{i}" for i in range(N_PAGES)} <= fetched_paths
+    assert (log.status == 200).all()
+    assert not any(p.startswith("blocked/") for p in fetched_paths)
+
+    # robots gate: all 12 /blocked/ links were denied, never fetched
+    m = store.read("metrics").toPandas()
+    denied = m[(m.partition_id == -1) & (m.key == "robotstxt/forbidden")]["value"].sum()
+    assert denied == N_PAGES
+
+    # items: the fetched image payloads, byte-exact vs the server's source
+    items = store.read("items").toPandas()
+    assert len(items) == N_PAGES
+    for _, row in items.iterrows():
+        i = int(row.image_id.rsplit("/", 1)[1])
+        expected = encode_image(synth_image(f"img{i}"), "rawrgb")
+        arr = synth_image(f"img{i}")
+        assert bytes(row.bytes) == expected  # payload parity, bit-exact
+        assert (row.w, row.h) == (arr.shape[1], arr.shape[0])
+        assert row.fmt == "rawrgb" and row.phash == phash64(arr)
+
+    # dupefilter: every URL fetched exactly once despite the tree linking
+    # /img and /blocked from every page
+    assert log.url_canon.is_unique
+
+    # url_seen covers every discovered (non-seed) URL: 11 child pages +
+    # 12 images + 12 blocked links (robots denial happens at pop time;
+    # the links still enter the dupefilter, as upstream)
+    assert store.read("url_seen").count() == 3 * N_PAGES - 1
+
+
+def test_engine_http_retries_transient_errors(spark, site):
+    """A dead port gives status 0 (connection error) → retried
+    retry_times times then FAILED — the reference's connection-error
+    retry path, observed through engine metrics."""
+    import pandas as pd
+
+    cfg = CrawlConfig(
+        fetch_backend="http",
+        epoch_budget=8,
+        max_epochs=10,
+        retry_times=2,
+        queue_order="fifo",
+        robotstxt_obey=False,
+        download_timeout_s=3.0,
+    )
+    store = MemoryStore(spark)
+    eng = CrawlEngine(
+        spark, cfg, store,
+        url_map=spark.createDataFrame([], "url_canon string, image_id string"),
+        graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+        robots=spark.createDataFrame([], "domain string, rules string"),
+    )
+    eng.bootstrap(
+        pd.DataFrame({"url": ["http://127.0.0.1:9/dead"], "priority": [0]}),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [4]}),
+    )
+    eng.run()
+    m = store.read("metrics").toPandas()
+    agg = m[m.partition_id == -1].groupby("key")["value"].sum().to_dict()
+    assert agg.get("retry/count", 0) == 2  # retried exactly retry_times
+    assert agg.get("downloader/response_status_count/0", 0) == 3  # 1 + 2 retries

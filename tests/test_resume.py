@@ -45,7 +45,7 @@ class DyingStore(ParquetStore):
         super().__init__(spark, root)
         self.kill_epoch = kill_epoch
 
-    def commit(self, epoch, replace, append, scalars, mutate=None) -> None:
+    def commit(self, epoch, replace, append, scalars, mutate=None, resolved=None) -> None:
         if epoch == self.kill_epoch:
             for name, df in {**replace, **append}.items():
                 self._write(epoch, name, df)  # orphaned partial state
@@ -53,7 +53,7 @@ class DyingStore(ParquetStore):
                 self._write(epoch, f"{name}_del", dels)  # orphaned deltas
                 self._write(epoch, f"{name}_ins", ins)
             raise Killed(f"simulated SIGKILL during commit of epoch {epoch}")
-        super().commit(epoch, replace, append, scalars, mutate)
+        super().commit(epoch, replace, append, scalars, mutate, resolved)
 
 
 def relaxed_fixture():

@@ -92,3 +92,55 @@ def test_item_filter_and_multiple_feeds(items_df, tmp_path):
     assert back.count() == 3
     got = {r["image_id"]: r["bytes"] for r in back.collect()}
     assert bytes(got["img1"]) == b"\x01\x02"  # parquet keeps native binary
+
+
+def test_export_uri_routing(spark, tmp_path, monkeypatch):
+    """S7 remote storages: Spark-native schemes route to the distributed
+    writer; ftp:// writes locally then uploads file-by-file (FTPFeedStorage
+    shape, verified against a recording FTP double); unknown schemes fail
+    loudly."""
+    import ftplib
+
+    from scrapy_spark.sources.sinks import (
+        FeedConfig,
+        export_items_to_uri,
+        storage_supported,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    # local path → native writer
+    out = tmp_path / "feed_local"
+    export_items_to_uri(df, FeedConfig(path=str(out), format="csv"))
+    assert any(p.suffix == ".csv" for p in out.iterdir())
+
+    assert storage_supported("s3a://bucket/key")
+    assert storage_supported("ftp://h.example/feed")
+    assert not storage_supported("gopher://x")
+    with pytest.raises(ValueError):
+        export_items_to_uri(df, FeedConfig(path="gopher://x/y"))
+
+    stored: list[str] = []
+
+    class FakeFTP:
+        def connect(self, host, port):
+            assert (host, port) == ("ftp.example", 2121)
+
+        def login(self, user, pw):
+            assert (user, pw) == ("u", "p")
+
+        def mkd(self, path):
+            raise ftplib.error_perm("550 exists")
+
+        def storbinary(self, cmd, fh):
+            assert fh.read(1)  # non-empty upload stream
+            stored.append(cmd)
+
+        def quit(self):
+            pass
+
+    monkeypatch.setattr(ftplib, "FTP", FakeFTP)
+    export_items_to_uri(
+        df, FeedConfig(path="ftp://u:p@ftp.example:2121/feeds", format="csv")
+    )
+    assert stored and all(c.startswith("STOR /feeds/") for c in stored)
+    assert any(c.endswith(".csv") for c in stored)
