@@ -40,7 +40,16 @@ class Store:
     ``seq``) are globally unique and never re-inserted after deletion.
     This is what keeps a 10^10-row frontier commit O(popped + new_links)
     instead of a full-table rewrite per epoch (Iceberg MOR equality
-    deletes; compaction every COMPACT_EVERY epochs bounds read fan-in)."""
+    deletes; compaction every COMPACT_EVERY epochs bounds read fan-in).
+
+    Why compaction rewrites the WHOLE base rather than per-bucket: under
+    fp/seq HASH bucketing a popped batch is priority-ordered, so its
+    delete keys spread uniformly across buckets — every bucket is
+    touched every epoch and a bucket-level rewrite degenerates to a full
+    rewrite with extra bookkeeping. Amortized cost is already
+    1/COMPACT_EVERY of the table per epoch; the structure that would
+    beat it is Iceberg positional deletes (file+row offsets), which this
+    manifest format stands in for, not bucket pruning."""
 
     def read(self, name: str) -> DataFrame | None:
         raise NotImplementedError

@@ -17,7 +17,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
+import sys
 import time
+
+# local runs resolve the in-repo package; on a cluster --py-files wins
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
@@ -27,6 +32,24 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--budget", type=int, default=4096)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--backend",
+        default="synthetic",
+        choices=("synthetic", "http"),
+        help="synthetic = deterministic fixture crawl; http = REAL network "
+        "crawl (operators/netfetch.py) over --seeds-csv",
+    )
+    ap.add_argument(
+        "--seeds-csv",
+        default=None,
+        help="http backend: CSV with url[,priority] columns (seed list)",
+    )
+    ap.add_argument(
+        "--allowed-domains",
+        default="",
+        help="http backend: comma-separated offsite allow-list "
+        "(empty = no offsite filter)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,18 +62,56 @@ def main() -> None:
     from scrapy_spark.sources.store import ParquetStore
     from scrapy_spark.streaming.engine import CrawlEngine
 
-    cfg = CrawlConfig(
-        epoch_budget=args.budget,
-        max_epochs=args.epochs,
-        allowed_domains=("example",),
-        depth_limit=6,
-        depth_priority=1,
-        queue_order="fifo",
-    )
-    fix = gen_crawl_fixture(args.scale, seed=args.seed, with_payload=False)
     store = ParquetStore(spark, args.store)
     t0 = time.time()
-    eng = CrawlEngine.from_fixture(spark, cfg, store, fix)
+    if args.backend == "http":
+        # REAL network crawl: seeds from CSV, links from fetched HTML,
+        # robots discovered per-domain (table-fed; the fetch of
+        # robots.txt itself rides the same http path on a real run)
+        import pandas as pd
+
+        from scrapy_spark.functions.urlnorm import parse_domain
+
+        cfg = CrawlConfig(
+            fetch_backend="http",
+            epoch_budget=args.budget,
+            max_epochs=args.epochs,
+            allowed_domains=tuple(
+                d for d in args.allowed_domains.split(",") if d
+            ),
+            depth_limit=6,
+            depth_priority=1,
+            queue_order="fifo",
+        )
+        seeds = pd.read_csv(args.seeds_csv)
+        if "priority" not in seeds.columns:
+            seeds["priority"] = 0
+        eng = CrawlEngine(
+            spark, cfg, store,
+            url_map=spark.createDataFrame([], "url_canon string, image_id string"),
+            graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+            robots=spark.createDataFrame([], "domain string, rules string"),
+        )
+        if store.epoch < 0 and not store.scalars.get("bootstrapped"):
+            politeness = pd.DataFrame(
+                {
+                    "slot": sorted({parse_domain(u) for u in seeds["url"]}),
+                }
+            ).assign(delay_ms=cfg.download_delay_ms, concurrency=cfg.concurrent_per_domain)
+            eng.bootstrap(seeds[["url", "priority"]], politeness)
+        else:
+            eng._rebuild_bloom()
+    else:
+        cfg = CrawlConfig(
+            epoch_budget=args.budget,
+            max_epochs=args.epochs,
+            allowed_domains=("example",),
+            depth_limit=6,
+            depth_priority=1,
+            queue_order="fifo",
+        )
+        fix = gen_crawl_fixture(args.scale, seed=args.seed, with_payload=False)
+        eng = CrawlEngine.from_fixture(spark, cfg, store, fix)
     stats = eng.run(max_epochs=args.epochs)
     elapsed = time.time() - t0
     popped = sum(s.popped for s in stats)
