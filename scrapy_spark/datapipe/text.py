@@ -42,8 +42,13 @@ def tokens(col: Column) -> Column:
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc token counting: total, distinct, type-token ratio, mean
-    token length — all built-in array functions (no UDF, no shuffle)."""
-    t = tokens(F.col(text_col))
+    token length — all built-in array functions (no UDF, no shuffle).
+
+    Tokens are materialized into a column first (as in dedup.shingles):
+    referencing the regexp expression from every derived column would
+    re-run the extraction per reference."""
+    df = df.withColumn("__toks", tokens(F.col(text_col)))
+    t = F.col("__toks")
     n = F.size(t)
     total_len = F.aggregate(
         t, F.lit(0), lambda acc, x: acc + F.length(x)
@@ -65,7 +70,8 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Heuristic quality score in [0,1]: length saturation + low
     punctuation density + stopword presence (the classic C4/Gopher-style
     cheap filters, composed deterministically)."""
-    t = tokens(F.col(text_col))
+    df = df.withColumn("__toks", tokens(F.col(text_col)))
+    t = F.col("__toks")
     n = F.size(t)
     n_chars = F.length(F.col(text_col))
     punct = F.length(F.regexp_replace(F.col(text_col), NON_PUNCT_RE, ""))
@@ -92,7 +98,8 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """Deterministic stopword-profile language ID. Scores each profile by
     stopword hit count over the token list; argmax with fixed tie-break
     order (profile order), 'und' when nothing hits."""
-    t = tokens(F.col(text_col))
+    df = df.withColumn("__toks", tokens(F.col(text_col)))
+    t = F.col("__toks")
 
     def _hits(words: list[str]) -> Column:
         return F.size(F.filter(t, lambda x: x.isin(*words)))
