@@ -371,6 +371,16 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-budget token counting: whitespace + BPE-ish subword regex
+    (GPT-2 pattern minus lookahead so the DuckDB oracle runs the SAME
+    expression) — the cheap pre-tokenizer cost model every data pipeline
+    runs before spending real tokenizer cycles."""
+    from scrapy_spark.datapipe.text import token_count_estimate
+
+    return token_count_estimate(_t(spark, sf_dir, "documents"))
+
+
 # ----- rows-only (hash sketches / UDF identity — not SQL-expressible) ----
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
         "text_lang_id": q_text_lang_id,
+        "text_token_count": q_text_token_count,
         # sketches / UDF identity (oracled via md5_number_upper replicas,
         # except ann_lsh_topk + image_decode_meta: see module docstring)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -895,6 +906,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS pred_lang,
                    score_en, score_de, score_fr, score_es
             FROM sc
+        """,
+        # BPE-ish pattern: apostrophes doubled per SQL literal rules; the
+        # regex itself is BPE_ISH_RE (datapipe/text.py), byte-identical
+        "text_token_count": r"""
+            WITH c AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
+                       AS n_bpe,
+                     CASE WHEN length(trim(text)) > 0
+                          THEN len(regexp_split_to_array(trim(text), '\s+'))
+                          ELSE 0 END AS n_ws
+              FROM documents)
+            SELECT doc_id, n_ws AS n_ws_tokens, n_bpe AS n_bpe_tokens,
+                   round(CASE WHEN n_bpe > 0 THEN length(text) / n_bpe
+                         ELSE 0.0 END, 4) AS chars_per_bpe_token
+            FROM c
         """,
         # ---- sketch oracles: DuckDB's md5_number_upper(s) equals the
         # package's int.from_bytes(md5(s)[:8], 'little') shingle/token hash

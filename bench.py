@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "text_quality_score",
     "text_lang_id",
+    "text_token_count",
     "doc_winnow_fingerprints",
     "request_identity",
     "crawl_frontier_pop",

@@ -116,6 +116,34 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(*sel)
 
 
+# BPE-ish tokenization regex: GPT-2's pattern minus the lookahead clauses
+# (RE2/DuckDB can't express lookahead, and the oracle must run the SAME
+# pattern): contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs. Counts track real BPE token counts closely enough for
+# budget estimation — the standard cheap pre-tokenizer cost model.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def token_count_estimate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Training-budget token counting (the brief's 'whitespace + BPE-ish
+    regex'): whitespace tokens, BPE-ish subword tokens, and chars per
+    subword token — all JVM regexp builtins, map-only, no UDF."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_ws = F.when(F.length(F.trim(F.col(text_col))) > 0, ws).otherwise(F.lit(0))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0))
+    return df.select(
+        F.col(id_col),
+        n_ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.when(bpe > 0, F.length(F.col(text_col)) / bpe).otherwise(F.lit(0.0)),
+            4,
+        ).alias("chars_per_bpe_token"),
+    )
+
+
 # --------------------------------------------------------------- winnowing
 _WINNOW_SCHEMA = T.ArrayType(T.LongType())
 
@@ -179,6 +207,8 @@ __all__ = [
     "token_stats",
     "quality_score",
     "lang_id",
+    "token_count_estimate",
+    "BPE_ISH_RE",
     "winnow_fingerprints",
     "LANG_PROFILES",
     "EN_STOPWORDS",

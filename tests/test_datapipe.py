@@ -221,3 +221,23 @@ def test_image_decode_meta_matches_synthesis_ground_truth(spark):
         assert got.decode_ok and got.fmt == fmt
         assert (got.w, got.h) == (arr.shape[1], arr.shape[0])
         assert got.phash == phash64(dec)
+
+
+def test_token_count_estimate(spark):
+    from scrapy_spark.datapipe.text import token_count_estimate
+
+    rows = [
+        (1, "Hello world, it's 2026!"),
+        (2, ""),
+        (3, "   "),
+        (4, "one-two three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in token_count_estimate(df).collect()}
+    # "Hello"," world",","," it","'s"," 2026","!" → 7 BPE-ish tokens
+    assert out[1].n_ws_tokens == 4 and out[1].n_bpe_tokens == 7
+    assert out[2].n_ws_tokens == 0 and out[2].n_bpe_tokens == 0
+    assert out[3].n_ws_tokens == 0 and out[3].n_bpe_tokens == 0
+    # "one","-","two"," three" → 4
+    assert out[4].n_ws_tokens == 2 and out[4].n_bpe_tokens == 4
+    assert out[4].chars_per_bpe_token == round(len("one-two three") / 4, 4)
