@@ -153,7 +153,18 @@ def jaccard_pairs(
             )
         )
         prefix_len = F.col("__n_sh") - F.ceil(F.lit(threshold) * F.col("__n_sh")) + 1
-        prefix = ranked.filter(F.col("__pos") <= prefix_len).select(id_col, "shingle")
+        # localCheckpoint: the prefix postings feed BOTH sides of the
+        # candidate self-join (materialize once), and it lets us release
+        # the cached freq table immediately instead of pinning it in
+        # executor storage for the application lifetime (repeated calls
+        # would otherwise accumulate cached tables)
+        prefix = (
+            ranked.filter(F.col("__pos") <= prefix_len)
+            .select(id_col, "shingle")
+            .localCheckpoint(eager=True)
+        )
+        if freq.is_cached:
+            freq.unpersist()
     else:
         prefix = sh
 

@@ -61,6 +61,19 @@ def fingerprint_of_canonical(
     ``fingerprint_of_canonical(canonicalize_url(u)) == fingerprint(u)``
     bit-for-bit by construction. The hot path (``with_request_identity``)
     uses this to canonicalize once per row instead of twice."""
+    # Upstream ≥2.7 stores headers HEX-ENCODED in the JSON payload:
+    # ``headers[header_name.hex()] = [v.hex() for v in getlist(header_name)]``
+    # with header_name the lowercased bytes name (scrapy/utils/request.py
+    # ::fingerprint ≈L90). The legacy path feeds the raw bytes instead.
+    norm = _normalize_headers(headers, include_headers)
+    hex_headers = (
+        {
+            k.encode().hex(): [v.encode("utf-8").hex() for v in vals]
+            for k, vals in norm.items()
+        }
+        if norm
+        else {}
+    )
     data: dict[str, object] = {
         "method": method.upper(),
         "url": url_canon,
@@ -69,7 +82,7 @@ def fingerprint_of_canonical(
         # include_headers matched (scrapy/utils/request.py::fingerprint ≈L95:
         # ``"headers": headers`` with ``headers: dict = {}`` initialized
         # unconditionally).
-        "headers": _normalize_headers(headers, include_headers) or {},
+        "headers": hex_headers,
     }
     # Default json.dumps separators — (", ", ": ") — exactly as upstream:
     # ``json.dumps(fingerprint_data, sort_keys=True)``. Compact separators

@@ -52,8 +52,10 @@ def _stripped(url: str) -> str:
 
 
 def _same_origin(a, b) -> bool:
-    pa, pb = urlparse(a), urlparse(b)
-    return (pa.scheme, pa.hostname, pa.port) == (pb.scheme, pb.hostname, pb.port)
+    # compare stripped-origin STRINGS (strip_url drops default ports), not
+    # raw urlparse port tuples: upstream treats https://a.com:443 and
+    # https://a.com as the same origin (w3lib strip_url semantics)
+    return _origin(a) == _origin(b)
 
 
 def _downgrade(referrer: str, target: str) -> bool:

@@ -161,16 +161,31 @@ def ftp_upload_dir(local_dir: str, ftp_uri: str) -> int:
     ftp.connect(u.hostname, u.port or 21)
     ftp.login(u.username or "anonymous", u.password or "")
     remote_root = u.path or "/"
-    try:
-        ftp.mkd(remote_root)
-    except ftplib.error_perm:
-        pass  # exists
+
+    def _mkd(path: str) -> None:
+        try:
+            ftp.mkd(path)
+        except ftplib.error_perm:
+            pass  # exists
+
+    _mkd(remote_root)
+    made: set[str] = {remote_root}
     n = 0
-    for p in sorted(pathlib.Path(local_dir).rglob("*")):
+    root = pathlib.Path(local_dir)
+    for p in sorted(root.rglob("*")):
         if not p.is_file() or p.name.startswith((".", "_")):
             continue
+        # preserve the RELATIVE path: nested partition dirs both contain
+        # part-00000 — flattening by basename silently overwrites one
+        rel = p.relative_to(root)
+        target_dir = remote_root
+        for part in rel.parts[:-1]:
+            target_dir = os.path.join(target_dir, part)
+            if target_dir not in made:
+                _mkd(target_dir)
+                made.add(target_dir)
         with open(p, "rb") as fh:
-            ftp.storbinary(f"STOR {os.path.join(remote_root, p.name)}", fh)
+            ftp.storbinary(f"STOR {os.path.join(target_dir, rel.name)}", fh)
         n += 1
     ftp.quit()
     return n

@@ -39,7 +39,12 @@ def _upstream_fingerprint(
         for name in sorted(h.lower() for h in include_headers):
             if name in lowered:
                 v = lowered[name]
-                hdrs[name] = v if isinstance(v, list) else [str(v)]
+                vals = v if isinstance(v, list) else [str(v)]
+                # upstream: headers[header_name.hex()] = [value.hex(), ...]
+                # with bytes names/values (utils/request.py ≈L90)
+                hdrs[name.encode().hex()] = [
+                    str(x).encode("utf-8").hex() for x in vals
+                ]
     fingerprint_data = {
         "method": method,
         "url": canonicalize_url(url, keep_fragments=keep_fragments),

@@ -72,8 +72,11 @@ def test_upstream_27_json_layout_literal():
     )
     assert fingerprint("http://x.example/p") == hashlib.sha1(payload.encode()).digest()
 
+    # headers are HEX-encoded in the upstream payload:
+    # "accept".encode().hex() == "616363657074",
+    # "text/html".encode().hex() == "746578742f68746d6c"
     payload_hdr = (
-        '{"body": "783d31", "headers": {"accept": ["text/html"]}, '
+        '{"body": "783d31", "headers": {"616363657074": ["746578742f68746d6c"]}, '
         '"method": "POST", "url": "http://x.example/p"}'
     )
     got = fingerprint(
