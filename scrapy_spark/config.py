@@ -38,6 +38,20 @@ class CrawlConfig:
     download_maxsize: int = 10 * 1024 * 1024  # DOWNLOAD_MAXSIZE
     user_agent: str = "scrapy-spark/2.0"  # USER_AGENT
 
+    # --- referer (ref: spidermiddlewares/referer.py ≈L250) ------------
+    # REFERRER_POLICY: policy applied to every link candidate (parent
+    # response URL → child request Referer header). One of
+    # functions/referer.py::POLICIES; upstream default is scrapy-default
+    # (no-referrer-when-downgrade, http(s) parents only).
+    referrer_policy: str = "scrapy-default"
+
+    # --- download slots (ref: downloader/__init__.py::get_slot_key ≈L105)
+    # "domain": slot = request domain (upstream default). "ip": slot =
+    # resolved IP (CONCURRENT_REQUESTS_PER_IP > 0 upstream) — vhosts that
+    # share a server share one politeness slot; resolution is memoized
+    # per-executor (operators/ipslots.py, J4 DNS cache).
+    slot_key_mode: str = "domain"
+
     # --- robots (ref: downloadermiddlewares/robotstxt.py) ------------
     robotstxt_obey: bool = True  # ROBOTSTXT_OBEY (ref default False; our
     # engine defaults on because the north_rule names robots gating)

@@ -73,12 +73,15 @@ def _fetch_one(
     timeout_s: float,
     maxsize: int,
     user_agent: str,
+    extra_headers: dict | None = None,
 ) -> tuple[int, bytes, dict, bool, str | None]:
-    """→ (status, body, headers, truncated, error). Never raises."""
-    req = urllib.request.Request(
-        url,
-        headers={"User-Agent": user_agent, "Accept-Encoding": "gzip, deflate"},
-    )
+    """→ (status, body, headers, truncated, error). Never raises.
+    ``extra_headers`` carries per-request headers the middleware chain
+    attached (Referer under REFERRER_POLICY, Cookie from the slot jar)."""
+    headers = {"User-Agent": user_agent, "Accept-Encoding": "gzip, deflate"}
+    if extra_headers:
+        headers.update(extra_headers)
+    req = urllib.request.Request(url, headers=headers)
     opener = urllib.request.build_opener(_NoRedirect)
     try:
         with opener.open(req, timeout=timeout_s) as resp:
@@ -102,29 +105,38 @@ def http_fetch(
     maxsize: int = 10 * 1024 * 1024,  # DOWNLOAD_MAXSIZE flavor
     user_agent: str = "scrapy-spark/2.0",
     repartition_by_slot: bool = False,
+    headers_col: str | None = None,
 ) -> DataFrame:
     """Fetch every row's URL; returns FETCH_SCHEMA rows 1:1 with input.
 
     ``repartition_by_slot=True`` co-locates each politeness slot in one
     partition so the per-slot cap is global — required on a multi-
-    executor cluster, unnecessary in one-partition tests."""
+    executor cluster, unnecessary in one-partition tests.
+
+    ``headers_col`` names an optional map<string,string> column of
+    per-request headers (Referer, Cookie, …) merged over the defaults."""
     if repartition_by_slot:
         requests = requests.repartition(F.col(slot_col))
-    cols = requests.select(
-        F.col("fp"), F.col(url_col).alias("url"), F.col(slot_col).alias("slot")
-    )
+    sel = [F.col("fp"), F.col(url_col).alias("url"), F.col(slot_col).alias("slot")]
+    if headers_col is not None:
+        sel.append(F.col(headers_col).alias("__hdrs"))
+    cols = requests.select(*sel)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sems: dict[str, threading.Semaphore] = defaultdict(
             lambda: threading.Semaphore(concurrent_per_slot)
         )
 
-        def work(fp, url, slot):
+        def work(fp, url, slot, extra):
+            # Arrow maps arrive as list-of-(k,v)-tuples; null rows as
+            # None/NaN — normalize to dict | None
+            if extra is not None and not isinstance(extra, dict):
+                extra = dict(extra) if not isinstance(extra, float) else None
             sem = sems[slot]
             with sem:
                 t0 = time.monotonic()
                 status, body, headers, truncated, error = _fetch_one(
-                    url, timeout_s, maxsize, user_agent
+                    url, timeout_s, maxsize, user_agent, extra
                 )
                 latency = int((time.monotonic() - t0) * 1000)
             lower = {k.lower(): v for k, v in headers.items()}
@@ -144,9 +156,16 @@ def http_fetch(
 
         with cf.ThreadPoolExecutor(max_workers=pool_size) as pool:
             for pdf in batches:
+                hdr_lists = (
+                    pdf["__hdrs"].tolist()
+                    if "__hdrs" in pdf.columns
+                    else [None] * len(pdf)
+                )
                 futs = [
-                    pool.submit(work, bytes(r.fp), r.url, r.slot)
-                    for r in pdf.itertuples()
+                    pool.submit(work, bytes(fp), url, slot, hdrs)
+                    for fp, url, slot, hdrs in zip(
+                        pdf["fp"], pdf["url"], pdf["slot"], hdr_lists
+                    )
                 ]
                 rows = [f.result() for f in futs]
                 yield pd.DataFrame(
@@ -179,20 +198,43 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
     redirect_to (Location resolved against the request URL), status,
     latency_ms, fetched_at, plus the body columns the html/items branches
     consume. Network errors surface as status 0 (retryable, like the
-    reference's connection-error retry path)."""
+    reference's connection-error retry path).
+
+    Per-request headers: the frontier's ``referer`` column (U3, applied
+    by the engine under REFERRER_POLICY) is sent as the Referer header;
+    an optional ``cookie_header`` column (per-slot jar fold, cookies
+    middleware) as Cookie."""
+    hdr_pairs = []
+    if "referer" in to_fetch.columns:
+        hdr_pairs.append(("Referer", F.col("referer")))
+    if "cookie_header" in to_fetch.columns:
+        hdr_pairs.append(("Cookie", F.col("cookie_header")))
+    headers_col = None
+    if hdr_pairs:
+        # map of the non-null headers only (map_filter drops null values)
+        m = F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k, _ in hdr_pairs]),
+                F.array(*[v for _, v in hdr_pairs]),
+            ),
+            lambda k, v: v.isNotNull(),
+        )
+        to_fetch = to_fetch.withColumn("__req_headers", m)
+        headers_col = "__req_headers"
     raw = http_fetch(
         to_fetch,
         concurrent_per_slot=cfg.concurrent_per_domain,
         timeout_s=cfg.download_timeout_s,
         maxsize=cfg.download_maxsize,
         user_agent=cfg.user_agent,
+        headers_col=headers_col,
     ).select(
         "fp", "status", "body", "content_type", "content_encoding",
         "location", "latency_ms",
     )
     # the frontier's own `status` column ('QUEUED') is superseded by the
     # HTTP status, exactly as synthetic_fetch overwrites it
-    joined = to_fetch.drop("status").join(raw, "fp")
+    joined = to_fetch.drop("status", "__req_headers").join(raw, "fp")
     is_image = F.col("content_type").startswith("image/") | (
         # the deterministic sandbox codecs carry their own magic, served
         # as octet-stream by plain file servers

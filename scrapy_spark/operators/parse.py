@@ -24,6 +24,7 @@ def extract_links(done: DataFrame, graph: DataFrame, cfg: CrawlConfig) -> DataFr
     → raw link candidates (url, depth, priority, parent_seq, parent_fp)."""
     parents = done.select(
         F.col("url_canon").alias("src_canon"),
+        F.col("url").alias("parent_url"),
         F.col("depth").alias("parent_depth"),
         F.col("seq").alias("parent_seq"),
         F.col("fp").alias("parent_fp"),
@@ -36,4 +37,5 @@ def extract_links(done: DataFrame, graph: DataFrame, cfg: CrawlConfig) -> DataFr
         (-depth * F.lit(cfg.depth_priority)).cast("int").alias("priority"),
         F.col("parent_seq"),
         F.col("parent_fp"),
+        F.col("parent_url"),
     )

@@ -39,6 +39,10 @@ FRONTIER = T.StructType(
         T.StructField("retries", T.IntegerType(), False),
         T.StructField("redirects", T.IntegerType(), False),  # hops so far (J7)
         T.StructField("dont_filter", T.BooleanType(), False),
+        # Referer header value this request carries (U3, ref:
+        # spidermiddlewares/referer.py — computed from the parent response
+        # URL under CrawlConfig.referrer_policy; null = no header)
+        T.StructField("referer", T.StringType(), True),
         T.StructField("meta_json", T.StringType(), True),
     ]
 )

@@ -64,10 +64,14 @@ class CrawlEngine:
         redirect_map: DataFrame | None = None,
         pretrim: bool = True,
         max_slot_concurrency: int | None = None,
+        resolver=None,
     ):
         self.spark = spark
         self.cfg = cfg
         self.store = store
+        # DNS resolver for slot_key_mode="ip" (operators/ipslots.py);
+        # injectable for deterministic tests, None = socket.getaddrinfo
+        self.resolver = resolver
         self.url_map = url_map
         self.graph = graph
         self.robots = robots
@@ -168,7 +172,9 @@ class CrawlEngine:
             .withColumn("retries", F.lit(0))
             .withColumn("redirects", F.lit(0))
             .withColumn("dont_filter", F.lit(True))
+            .withColumn("referer", F.lit(None).cast("string"))  # seeds: none
             .withColumn("meta_json", F.lit(None).cast("string"))
+            .transform(self._apply_slot_mode)
             .select(*FRONTIER_COLS)
         )
         dom = self.spark.createDataFrame(
@@ -195,6 +201,17 @@ class CrawlEngine:
                 "items": 0,
             },
         )
+
+    def _apply_slot_mode(self, df: DataFrame) -> DataFrame:
+        """J4/C4 IP branch: under ``slot_key_mode="ip"`` rewrite the
+        politeness slot from the domain to its resolved IP (memoized per
+        executor batch — operators/ipslots.py), so vhosts sharing a server
+        share one slot, as upstream does with CONCURRENT_REQUESTS_PER_IP."""
+        if self.cfg.slot_key_mode != "ip":
+            return df
+        from ..operators.ipslots import with_ip_slot
+
+        return with_ip_slot(df, resolver=self.resolver)
 
     def _rebuild_bloom(self) -> None:
         """Resume/regrow path: re-populate the bloom from the committed
@@ -380,6 +397,7 @@ class CrawlEngine:
             "retries",
             "redirects",
             "dont_filter",
+            "referer",
         ]
         # cached: the kept→identity branch and the drop-counts branch both
         # consume links_raw — without the cache each re-scans the source
@@ -391,6 +409,7 @@ class CrawlEngine:
             pages = html_pages(done).select(
                 "url_canon",
                 "html",
+                F.col("url").alias("parent_url"),
                 F.col("depth").alias("parent_depth"),
                 F.col("seq").alias("parent_seq"),
                 F.col("fp").alias("parent_fp"),
@@ -403,13 +422,26 @@ class CrawlEngine:
                 (-ldepth * F.lit(cfg.depth_priority)).cast("int").alias("priority"),
                 "parent_seq",
                 "parent_fp",
+                "parent_url",
             ).cache()
         else:
             links_raw = extract_links(done, self.graph, cfg).cache()
         kept, drop_counts_df = split_links(links_raw, cfg)  # counts batched below
         trace('links_split')
+        # U3 referer: each link candidate's Referer value is computed from
+        # its parent response URL under REFERRER_POLICY (W3C table,
+        # functions/referer.py; ref spidermiddlewares/referer.py ≈L250)
+        from ..functions.referer import with_referer
+
         link_cand = (
             with_request_identity(kept, impl=cfg.fingerprint_impl)
+            .transform(
+                lambda d: with_referer(
+                    d, cfg.referrer_policy, parent_col="parent_url"
+                )
+                if cfg.referrer_policy != "no-referrer" and "parent_url" in d.columns
+                else d.withColumn("referer", F.lit(None).cast("string"))
+            )
             .withColumn("kind", F.lit(2))
             .withColumn("retries", F.lit(0))
             .withColumn("redirects", F.lit(0))
@@ -427,6 +459,9 @@ class CrawlEngine:
             F.col("fp").alias("parent_fp"),
             (F.col("redirects") + 1).cast("int").alias("redirects"),
             F.col("dont_filter"),
+            # redirect child = request.replace(url=...) upstream — headers
+            # (incl. Referer) carry over unchanged (redirect.py ≈L80)
+            F.col("referer"),
         )
         redir_cand = (
             with_request_identity(redir_src, impl=cfg.fingerprint_impl)
@@ -436,6 +471,7 @@ class CrawlEngine:
         candidates = (
             redir_cand.select(*cand_cols)
             .unionByName(link_cand.select(*cand_cols))
+            .transform(self._apply_slot_mode)
             .cache()
         )
         filterable = candidates.filter(~F.col("dont_filter"))
@@ -480,6 +516,7 @@ class CrawlEngine:
                 (F.col("retries") + 1).alias("retries"),
                 F.col("redirects"),
                 F.lit(True).alias("dont_filter"),
+                F.col("referer"),  # retry = same request, headers unchanged
             )
         )
         fresh_links = fresh.select(*cand_cols).unionByName(bypass.select(*cand_cols))
