@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .netfetch import is_image_response
+
 
 def split_cache_hits(
     popped: DataFrame, fetch_log: DataFrame | None, epoch_ts: int
@@ -59,6 +61,70 @@ def split_cache_hits(
         .withColumn("latency_ms", F.lit(0).cast("long"))
         .withColumn("fetched_at", F.lit(epoch_ts).cast("long"))
         .drop("c_image_id", "c_status")
+    )
+    misses = popped.join(F.broadcast(cached.select("fp")), "fp", "left_anti")
+    return hits, misses
+
+
+def split_http_cache_hits(
+    popped: DataFrame, http_cache: DataFrame | None, epoch_ts: int
+) -> tuple[DataFrame | None, DataFrame]:
+    """Cache replay for the REAL http backend (ref HttpCacheMiddleware —
+    the whole point of the cache is short-circuiting network fetches).
+
+    The ``http_cache`` table stores full 200 responses by fingerprint
+    (fp, status, body, content_type, content_encoding, location, epoch).
+    → (hits, misses): ``hits`` carries the popped row columns + the
+    replayed response columns, already in the ``engine_fetch`` output
+    shape (latency 0, fetched_at=epoch_ts, image_id re-derived from the
+    cached content_type, redirect_to null — only 200s are cached — and
+    ``from_cache=true`` so the engine never re-appends a replayed row to
+    the cache); ``misses`` go to the network.
+
+    Same join strategy as the fp-keyed synthetic split above: the popped
+    batch broadcasts, the 10^10-row cache streams (left-semi shrink then
+    broadcast-back), never shuffles."""
+    if http_cache is None:
+        return None, popped
+
+    cached = (
+        http_cache.filter(F.col("status") == 200)
+        .join(F.broadcast(popped.select("fp")), "fp", "left_semi")
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy(F.desc("epoch"))),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "fp",
+            F.col("status").alias("c_status"),
+            F.col("body").alias("c_body"),
+            F.col("content_type").alias("c_content_type"),
+            F.col("content_encoding").alias("c_content_encoding"),
+            F.col("location").alias("c_location"),
+        )
+    )
+    hits = (
+        popped.drop("status")
+        .join(F.broadcast(cached), "fp", "inner")
+        .withColumn("status", F.col("c_status"))
+        .withColumn("body", F.col("c_body"))
+        .withColumn("content_type", F.col("c_content_type"))
+        .withColumn("content_encoding", F.col("c_content_encoding"))
+        .withColumn("location", F.col("c_location"))
+        .withColumn("latency_ms", F.lit(0).cast("long"))
+        .drop(
+            "c_status", "c_body", "c_content_type", "c_content_encoding", "c_location"
+        )
+        .withColumn("redirect_to", F.lit(None).cast("string"))
+        .withColumn(
+            "image_id",
+            F.when(
+                (F.col("status") == 200) & is_image_response(), F.col("url_canon")
+            ),
+        )
+        .withColumn("fetched_at", F.lit(epoch_ts).cast("long"))
+        .withColumn("from_cache", F.lit(True))
     )
     misses = popped.join(F.broadcast(cached.select("fp")), "fp", "left_anti")
     return hits, misses

@@ -191,6 +191,18 @@ def _urljoin_udf(urls: pd.Series, locations: pd.Series) -> pd.Series:
     )
 
 
+def is_image_response() -> F.Column:
+    """Content-type predicate marking a 200 body as an image payload
+    (→ ITEMS row via the ImagesPipeline analog). Shared by the live
+    fetch shaping below and the httpcache replay path so a cached
+    response classifies identically to the fetch it replays."""
+    return F.col("content_type").startswith("image/") | (
+        # the deterministic sandbox codecs carry their own magic, served
+        # as octet-stream by plain file servers
+        F.col("content_type") == "application/octet-stream"
+    )
+
+
 def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
     """Adapt ``http_fetch`` to the engine's fetched-batch contract
     (operators/fetch.py::synthetic_fetch shape): adds image_id (the
@@ -235,11 +247,7 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
     # the frontier's own `status` column ('QUEUED') is superseded by the
     # HTTP status, exactly as synthetic_fetch overwrites it
     joined = to_fetch.drop("status", "__req_headers").join(raw, "fp")
-    is_image = F.col("content_type").startswith("image/") | (
-        # the deterministic sandbox codecs carry their own magic, served
-        # as octet-stream by plain file servers
-        F.col("content_type") == "application/octet-stream"
-    )
+    is_image = is_image_response()
     return (
         joined.withColumn(
             "redirect_to", _urljoin_udf(F.col("url"), F.col("location"))

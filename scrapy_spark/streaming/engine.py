@@ -65,6 +65,7 @@ class CrawlEngine:
         pretrim: bool = True,
         max_slot_concurrency: int | None = None,
         resolver=None,
+        http_cache: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -72,6 +73,10 @@ class CrawlEngine:
         # DNS resolver for slot_key_mode="ip" (operators/ipslots.py);
         # injectable for deterministic tests, None = socket.getaddrinfo
         self.resolver = resolver
+        # optional cache carried over from a previous crawl's store
+        # (S6/J6 persistent-cache analog); unioned with this store's own
+        # http_cache table at replay time
+        self.http_cache = http_cache
         self.url_map = url_map
         self.graph = graph
         self.robots = robots
@@ -317,20 +322,41 @@ class CrawlEngine:
         # replay first (S6/J6, operators/httpcache.py — default off)
         n_cache_hits = 0
         to_fetch = popped
+        hits = None
         if cfg.httpcache_enabled:
             if cfg.fetch_backend == "http":
-                raise ValueError("httpcache replay is not wired for the http backend")
-            hits, to_fetch = split_cache_hits(popped, self.store.read("fetch_log"), ts)
+                # full-response replay (ref HttpCacheMiddleware — the
+                # cache exists precisely to short-circuit REAL fetches):
+                # the store's own http_cache table plus any carried-over
+                # cache from a previous run (Scrapy's persistent
+                # .scrapy/httpcache analog)
+                from ..operators.httpcache import split_http_cache_hits
+
+                cache = self.store.read("http_cache")
+                if self.http_cache is not None:
+                    cache = (
+                        cache.unionByName(self.http_cache)
+                        if cache is not None
+                        else self.http_cache
+                    )
+                hits, to_fetch = split_http_cache_hits(popped, cache, ts)
+            else:
+                hits, to_fetch = split_cache_hits(
+                    popped, self.store.read("fetch_log"), ts
+                )
         if cfg.fetch_backend == "http":
             # real network fetch (operators/netfetch.py): same downstream
             # contract; bodies ride along for the html/items branches
             from ..operators.netfetch import engine_fetch
 
             fetched = engine_fetch(to_fetch, cfg, ts)
+            if cfg.httpcache_enabled:
+                fetched = fetched.withColumn("from_cache", F.lit(False))
         else:
             fetched = synthetic_fetch(to_fetch, self.url_map, cfg, ts, self.redirect_map)
         if cfg.httpcache_enabled and hits is not None:
-            hits = hits.withColumn("redirect_to", F.lit(None).cast("string"))
+            if cfg.fetch_backend != "http":
+                hits = hits.withColumn("redirect_to", F.lit(None).cast("string"))
             fetched = fetched.unionByName(
                 hits.select(*fetched.columns), allowMissingColumns=False
             )
@@ -679,6 +705,25 @@ class CrawlEngine:
         if n_popped:
             appends["pop_log"] = pop_log
             appends["fetch_log"] = fetch_log
+        if (
+            cfg.httpcache_enabled
+            and cfg.fetch_backend == "http"
+            and n_popped > n_cache_hits  # some pops actually hit the network
+        ):
+            # persist the NEWLY fetched 200 bodies (replayed hits carry
+            # from_cache=true and are already in the cache); read-side
+            # dedupe keeps the latest epoch per fp
+            appends["http_cache"] = fetched.filter(
+                (F.col("status") == 200) & ~F.col("from_cache")
+            ).select(
+                "fp",
+                "status",
+                "body",
+                "content_type",
+                "content_encoding",
+                "location",
+                F.lit(e).alias("epoch"),
+            )
         if n_ok:
             appends["items"] = items
         if n_fresh:
