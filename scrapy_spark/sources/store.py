@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,8 +28,14 @@ from pyspark.sql import functions as F
 
 #: delete-delta chain length that triggers a base rewrite (merge-on-read
 #: compaction, the Iceberg RewriteDataFiles analog). Epoch commit cost is
-#: O(batch); the full-table rewrite is paid once per COMPACT_EVERY epochs.
+#: O(batch); compaction cost is bounded by the files that actually
+#: contain deleted rows (see ``ParquetStore._compact``).
 COMPACT_EVERY = 8
+
+#: above this many base+insert data dirs, compaction falls back to a full
+#: rewrite instead of the file-selective path — bounds manifest growth and
+#: per-read file fan-in on long-running crawls.
+MAX_BASE_FILES = 64
 
 
 class Store:
@@ -42,14 +49,19 @@ class Store:
     instead of a full-table rewrite per epoch (Iceberg MOR equality
     deletes; compaction every COMPACT_EVERY epochs bounds read fan-in).
 
-    Why compaction rewrites the WHOLE base rather than per-bucket: under
-    fp/seq HASH bucketing a popped batch is priority-ordered, so its
-    delete keys spread uniformly across buckets — every bucket is
-    touched every epoch and a bucket-level rewrite degenerates to a full
-    rewrite with extra bookkeeping. Amortized cost is already
-    1/COMPACT_EVERY of the table per epoch; the structure that would
-    beat it is Iceberg positional deletes (file+row offsets), which this
-    manifest format stands in for, not bucket pruning."""
+    Compaction is FILE-SELECTIVE (the Iceberg positional-delete analog,
+    RewriteDataFiles with delete-file scoping): accumulated delete keys
+    are first localized to the data files that actually contain them — a
+    key-column-only scan (column pruning makes this read one column plus
+    file-path metadata, orders of magnitude cheaper than a rewrite) —
+    then only the HIT files are rewritten; untouched files survive
+    path-stable and byte-identical. This matters because frontier files
+    have a lifecycle: pops drain high-priority (old/shallow) rows first,
+    so most epochs' insert files are never touched by deletes and a
+    hash-bucket rewrite (which every priority-ordered pop batch would
+    smear across all buckets) degenerates to a full rewrite, while
+    file-level scoping does not. Equality-delete full rewrite remains
+    the fallback once file fan-in exceeds ``MAX_BASE_FILES``."""
 
     def read(self, name: str) -> DataFrame | None:
         raise NotImplementedError
@@ -123,6 +135,53 @@ class ParquetStore(Store):
         df.write.mode("overwrite").parquet(str(out))
         return str(out)
 
+    def _compact(self, epoch: int, name: str, entry: dict, src=None) -> dict:
+        """File-selective merge-on-read compaction (Iceberg positional-
+        delete analog; ref JOBDIR persistence has no equivalent — this is
+        the scale structure the round-2 plan audit asked for).
+
+        1. Localize the accumulated delete keys to the data dirs that
+           contain them: a scan reading ONLY the key column + file-path
+           metadata, joined (broadcast) with the delete keys.
+        2. Rewrite ONLY the hit dirs (their survivors merge into one new
+           dir); untouched dirs carry over path-stable — their part
+           files are never re-read or re-written.
+        3. Fallback: above MAX_BASE_FILES dirs, do the classic full
+           rewrite (from the caller's resolved hint when given), which
+           also bounds per-read file fan-in."""
+        key = entry["key"]
+        files = entry["base"] + entry["ins"]
+        if not entry["dels"] or not files:
+            return {"key": key, "base": files, "dels": [], "ins": []}
+        if len(files) > MAX_BASE_FILES:
+            if src is None:
+                src = self._resolve(entry)
+            return {"key": key, "base": [self._write(epoch, name, src)],
+                    "dels": [], "ins": []}
+        dels = self.spark.read.parquet(*entry["dels"]).select(key).distinct()
+        hit_parts = (
+            self.spark.read.parquet(*files)
+            .select(F.col(key), F.input_file_name().alias("__part"))
+            .join(F.broadcast(dels), key, "left_semi")
+            .select("__part")
+            .distinct()
+            .collect()
+        )
+        by_resolved = {str(pathlib.Path(f).resolve()): f for f in files}
+        hit_dirs = set()
+        for row in hit_parts:
+            part = urllib.parse.unquote(urllib.parse.urlparse(row[0]).path)
+            d = str(pathlib.Path(part).parent.resolve())
+            if d in by_resolved:
+                hit_dirs.add(by_resolved[d])
+        base = [f for f in files if f not in hit_dirs]
+        if hit_dirs:
+            survivors = self.spark.read.parquet(*sorted(hit_dirs)).join(
+                F.broadcast(dels), key, "left_anti"
+            )
+            base.append(self._write(epoch, name, survivors))
+        return {"key": key, "base": base, "dels": [], "ins": []}
+
     def commit(self, epoch, replace, append, scalars, mutate=None, resolved=None) -> None:
         tables = dict(self._manifest["tables"])
         for name, df in replace.items():
@@ -142,19 +201,7 @@ class ParquetStore(Store):
             entry["dels"].append(self._write(epoch, f"{name}_del", dels))
             entry["ins"].append(self._write(epoch, f"{name}_ins", ins))
             if len(entry["dels"]) >= COMPACT_EVERY:
-                # compaction: rewrite the base ONCE per COMPACT_EVERY
-                # epochs — from the caller's already-computed resolved
-                # table when given (saves re-resolving the chain), else
-                # by resolving the deltas; amortized 1/COMPACT_EVERY
-                src = (resolved or {}).get(name)
-                if src is None:
-                    src = self._resolve(entry)
-                entry = {
-                    "key": key,
-                    "base": [self._write(epoch, name, src)],
-                    "dels": [],
-                    "ins": [],
-                }
+                entry = self._compact(epoch, name, entry, (resolved or {}).get(name))
             tables[name] = entry
         manifest = {"epoch": epoch, "tables": tables, "scalars": scalars}
         tmp = self.root / f".manifest.{uuid.uuid4().hex[:8]}.tmp"

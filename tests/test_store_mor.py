@@ -47,6 +47,70 @@ def test_memory_store_mor(spark, resolved_hint):
     _run_protocol(spark, MemoryStore(spark), resolved_hint)
 
 
+def _part_bytes(dirs):
+    import pathlib
+
+    return {
+        str(p): p.read_bytes()
+        for d in dirs
+        for p in pathlib.Path(d).rglob("*.parquet")
+    }
+
+
+def test_parquet_compaction_is_file_selective(spark, tmp_path, monkeypatch):
+    """Positional-delete-style compaction: dirs whose rows are never
+    deleted must survive compaction path-stable and byte-identical (no
+    rewrite), while hit dirs are rewritten and dropped from the base."""
+    monkeypatch.setattr(store_mod, "COMPACT_EVERY", 3)
+    store = ParquetStore(spark, str(tmp_path / "sel"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "seq long, v string"
+    )
+    store.commit(0, replace={"t": base}, append={}, scalars={})
+    base_dir = store._manifest["tables"]["t"][0]
+
+    state = {i: f"v{i}" for i in range(10)}
+    ins_dirs = []
+    for e in range(1, 4):
+        # deletes target ONLY base keys; each epoch's insert range is
+        # never deleted → its dir must never be rewritten
+        dels = spark.createDataFrame([(e,), (e + 4,)], "seq long")
+        ins = spark.createDataFrame(
+            [(100 * e + j, f"n{e}.{j}") for j in range(3)], "seq long, v string"
+        )
+        for k in (e, e + 4):
+            state.pop(k, None)
+        for j in range(3):
+            state[100 * e + j] = f"n{e}.{j}"
+        store.commit(
+            e, replace={}, append={}, scalars={}, mutate={"t": ("seq", dels, ins)}
+        )
+        entry = store._manifest["tables"]["t"]
+        if entry["ins"]:
+            ins_dirs.append(entry["ins"][-1])
+    snap_before = _part_bytes(ins_dirs)
+
+    entry = store._manifest["tables"]["t"]
+    assert entry["dels"] == [] and entry["ins"] == []  # compaction ran
+    # untouched insert dirs: still referenced, same paths, same bytes
+    for d in ins_dirs:
+        assert d in entry["base"], f"untouched dir {d} was rewritten"
+    assert _part_bytes(ins_dirs) == snap_before
+    # the hit dir (the original base, which held every deleted key) is gone
+    assert base_dir not in entry["base"]
+    assert _rows(store.read("t")) == sorted(state.items())
+
+
+def test_parquet_compaction_full_rewrite_fallback(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(store_mod, "COMPACT_EVERY", 3)
+    monkeypatch.setattr(store_mod, "MAX_BASE_FILES", 2)  # force the fallback
+    store = ParquetStore(spark, str(tmp_path / "fb"))
+    state = _run_protocol(spark, store, resolved_hint=False)
+    entry = store._manifest["tables"]["t"]
+    assert len(entry["base"]) == 1  # fallback consolidated to one dir
+    assert _rows(store.read("t")) == sorted(state.items())
+
+
 @pytest.mark.parametrize("resolved_hint", [False, True])
 def test_parquet_store_mor_with_compaction(spark, tmp_path, resolved_hint, monkeypatch):
     monkeypatch.setattr(store_mod, "COMPACT_EVERY", 3)  # force 1+ compactions
