@@ -6,10 +6,10 @@ schema) or a training-data pipeline operator (dedup / similarity / text
 analysis over documents+embeddings). ``oracle_sql()`` carries the DuckDB
 equivalent for everything SQL-expressible — including the MinHash /
 SimHash / winnowing sketches (DuckDB's md5_number_upper reproduces the
-package's md5-derived 64-bit hashes bit-for-bit). Only ann_lsh_topk
-(recall-checked against exact kNN in tests/test_datapipe.py) and
-image_decode_meta (decode verified against synthesis ground truth in
-tests/test_datapipe.py) are rows-only.
+package's md5-derived 64-bit hashes bit-for-bit) and the SRP-LSH ANN
+(hyperplane constants inlined, the whole bucket pipeline replayed in
+SQL). Only image_decode_meta (decode verified against synthesis ground
+truth in tests/test_datapipe.py) is rows-only.
 
 Column aliases match 1:1 between Spark and SQL (the driver sorts columns
 by name before value-hashing). All float aggregates are rounded so both
@@ -577,8 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": q_text_quality_score,
         "text_lang_id": q_text_lang_id,
         "text_token_count": q_text_token_count,
-        # sketches / UDF identity (oracled via md5_number_upper replicas,
-        # except ann_lsh_topk + image_decode_meta: see module docstring)
+        # sketches / UDF identity (oracled via md5_number_upper replicas
+        # and inlined SRP hyperplanes; only image_decode_meta is rows-only)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -645,6 +645,66 @@ def _minhash_oracle_sql() -> str:
           JOIN sigfull sa ON sa.doc_id = id_a
           JOIN sigfull sb ON sb.doc_id = id_b)
         SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+def _ann_lsh_oracle_sql(nbits: int = 16, ntables: int = 8, dim: int = 64,
+                        seed: int = 7, k: int = 5) -> str:
+    """Exact DuckDB twin of ``q_ann_lsh_topk`` — the MinHash trick applied
+    to SRP: the random hyperplanes are deterministic given the seed, so
+    their 8×16×64 doubles are INLINED as a VALUES table (generated here,
+    not hand-written) and the whole pipeline — sign-bit buckets, bucket
+    join, exact cosine re-rank — is replayed relationally. Output equality
+    therefore checks the bucketing itself, not just recall. Sign flips
+    from summation-order fp noise would need |v·p| ≲ 1e-14 (observed |v·p|
+    is O(1)); probability over the full corpus ≈ 1e-10 — vacuously safe."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(ntables * nbits, dim))
+    rows = ",\n              ".join(
+        f"({t},{j},[{','.join(repr(float(x)) for x in planes[t * nbits + j])}])"
+        for t in range(ntables)
+        for j in range(nbits)
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        jit AS (
+          SELECT vec_id + 10000 AS vec_id,
+                 list_transform(v, (x, i) ->
+                   x * (CAST(1.0 AS DOUBLE) + CAST(0.05 AS DOUBLE)
+                        * ((((i - 1) % 2) * 2) - 1))) AS v
+          FROM base WHERE vec_id < 100),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM jit),
+        planes(tbl, bit, p) AS (VALUES
+              {rows}),
+        buck AS (
+          SELECT c.vec_id,
+                 pl.tbl * {1 << nbits} + SUM(
+                   CASE WHEN list_dot_product(c.v, pl.p::DOUBLE[]) > 0
+                        THEN (1::BIGINT << pl.bit) ELSE 0 END) AS bucket
+          FROM corpus c CROSS JOIN planes pl
+          GROUP BY c.vec_id, pl.tbl),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+          FROM buck a JOIN buck b
+            ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(list_dot_product(q.v, c.v) /
+                       (sqrt(list_dot_product(q.v, q.v)) *
+                        sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+          FROM cand
+          JOIN corpus q ON q.vec_id = cand.query_id
+          JOIN corpus c ON c.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC)
+                   AS rank
+          FROM scored)
+        WHERE rank <= {k}
     """
 
 
@@ -930,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
         # fully SQL-replicable. MinHash a/b permutation constants are
         # inlined from the same _hash_params(seed=42) the Spark UDF uses.
         "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "dedup_simhash": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
             tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
