@@ -38,6 +38,13 @@ class CrawlConfig:
     download_maxsize: int = 10 * 1024 * 1024  # DOWNLOAD_MAXSIZE
     user_agent: str = "scrapy-spark/2.0"  # USER_AGENT
 
+    # --- cookies (ref: downloadermiddlewares/cookies.py ≈L30) ---------
+    # COOKIES_ENABLED (upstream default True). Active on the http fetch
+    # backend: per-slot jar state table, Set-Cookie → jar → Cookie header
+    # (operators/cookies.py). The synthetic fetcher has no headers, so
+    # the flag is a no-op there.
+    cookies_enabled: bool = True
+
     # --- referer (ref: spidermiddlewares/referer.py ≈L250) ------------
     # REFERRER_POLICY: policy applied to every link candidate (parent
     # response URL → child request Referer header). One of

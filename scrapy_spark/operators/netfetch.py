@@ -53,6 +53,7 @@ FETCH_SCHEMA = T.StructType(
         T.StructField("content_type", T.StringType()),
         T.StructField("content_encoding", T.StringType()),
         T.StructField("location", T.StringType()),
+        T.StructField("set_cookie", T.ArrayType(T.StringType())),
         T.StructField("latency_ms", T.LongType()),
         T.StructField("truncated", T.BooleanType()),
         T.StructField("error", T.StringType()),
@@ -74,10 +75,12 @@ def _fetch_one(
     maxsize: int,
     user_agent: str,
     extra_headers: dict | None = None,
-) -> tuple[int, bytes, dict, bool, str | None]:
-    """→ (status, body, headers, truncated, error). Never raises.
-    ``extra_headers`` carries per-request headers the middleware chain
-    attached (Referer under REFERRER_POLICY, Cookie from the slot jar)."""
+) -> tuple[int, bytes, dict, list, bool, str | None]:
+    """→ (status, body, headers, set_cookie, truncated, error). Never
+    raises. ``extra_headers`` carries per-request headers the middleware
+    chain attached (Referer under REFERRER_POLICY, Cookie from the slot
+    jar). ``set_cookie`` is the FULL list of Set-Cookie header lines —
+    a plain dict would collapse the (legal, common) duplicates."""
     headers = {"User-Agent": user_agent, "Accept-Encoding": "gzip, deflate"}
     if extra_headers:
         headers.update(extra_headers)
@@ -87,12 +90,14 @@ def _fetch_one(
         with opener.open(req, timeout=timeout_s) as resp:
             body = resp.read(maxsize + 1)
             truncated = len(body) > maxsize
-            return resp.status, body[:maxsize], dict(resp.headers), truncated, None
+            sc = resp.headers.get_all("Set-Cookie") or []
+            return resp.status, body[:maxsize], dict(resp.headers), sc, truncated, None
     except urllib.error.HTTPError as e:  # 30x/4xx/5xx: still a response
         body = e.read(maxsize + 1) if e.fp else b""
-        return e.code, body[:maxsize], dict(e.headers), len(body) > maxsize, None
+        sc = e.headers.get_all("Set-Cookie") or []
+        return e.code, body[:maxsize], dict(e.headers), sc, len(body) > maxsize, None
     except Exception as e:  # noqa: BLE001 — DNS/conn/timeout → error row
-        return 0, b"", {}, False, f"{type(e).__name__}: {e}"
+        return 0, b"", {}, [], False, f"{type(e).__name__}: {e}"
 
 
 def http_fetch(
@@ -135,7 +140,7 @@ def http_fetch(
             sem = sems[slot]
             with sem:
                 t0 = time.monotonic()
-                status, body, headers, truncated, error = _fetch_one(
+                status, body, headers, set_cookie, truncated, error = _fetch_one(
                     url, timeout_s, maxsize, user_agent, extra
                 )
                 latency = int((time.monotonic() - t0) * 1000)
@@ -149,6 +154,7 @@ def http_fetch(
                 lower.get("content-type"),
                 lower.get("content-encoding"),
                 lower.get("location"),
+                set_cookie,
                 latency,
                 truncated,
                 error,
@@ -242,7 +248,7 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
         headers_col=headers_col,
     ).select(
         "fp", "status", "body", "content_type", "content_encoding",
-        "location", "latency_ms",
+        "location", "set_cookie", "latency_ms",
     )
     # the frontier's own `status` column ('QUEUED') is superseded by the
     # HTTP status, exactly as synthetic_fetch overwrites it

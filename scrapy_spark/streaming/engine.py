@@ -349,6 +349,13 @@ class CrawlEngine:
             # contract; bodies ride along for the html/items branches
             from ..operators.netfetch import engine_fetch
 
+            if cfg.cookies_enabled:
+                # cookies middleware request half: fold the slot jar into
+                # a Cookie header (operators/cookies.py; ref
+                # downloadermiddlewares/cookies.py process_request)
+                from ..operators.cookies import with_cookie_header
+
+                to_fetch = with_cookie_header(to_fetch, self.store.read("cookies"))
             fetched = engine_fetch(to_fetch, cfg, ts)
             if cfg.httpcache_enabled:
                 fetched = fetched.withColumn("from_cache", F.lit(False))
@@ -357,9 +364,12 @@ class CrawlEngine:
         if cfg.httpcache_enabled and hits is not None:
             if cfg.fetch_backend != "http":
                 hits = hits.withColumn("redirect_to", F.lit(None).cast("string"))
-            fetched = fetched.unionByName(
-                hits.select(*fetched.columns), allowMissingColumns=False
-            )
+                fetched = fetched.unionByName(hits.select(*fetched.columns))
+            else:
+                # replayed hits lack the live-fetch-only columns
+                # (set_cookie, cookie_header) — filled as nulls; cached
+                # responses do not re-run the cookies middleware
+                fetched = fetched.unionByName(hits, allowMissingColumns=True)
             n_cache_hits = hits.count()
         fetched = fetched.withColumn("partition_id", F.spark_partition_id()).cache()
         # status 0 = network/transport error (http backend) — retryable,
@@ -724,6 +734,22 @@ class CrawlEngine:
                 "location",
                 F.lit(e).alias("epoch"),
             )
+        if cfg.cookies_enabled and cfg.fetch_backend == "http":
+            # cookies middleware response half: Set-Cookie lines → jar
+            # delta rows (latest-wins on read, operators/cookies.py; ref
+            # downloadermiddlewares/cookies.py process_response). Cache
+            # replays carry set_cookie=null and parse to nothing.
+            from ..operators.cookies import parse_set_cookies
+
+            new_cookies = parse_set_cookies(fetched, e)
+            n_setcookie = new_cookies.count()
+            if n_setcookie:
+                appends["cookies"] = new_cookies
+                mrows.append((e, -1, "cookies/received", float(n_setcookie)))
+                # rebuilt so the appended metrics row is included below
+                metrics_df = self.spark.createDataFrame(
+                    [r for r in mrows if r[3] > 0], schemas.METRICS
+                )
         if n_ok:
             appends["items"] = items
         if n_fresh:
