@@ -7,6 +7,7 @@ Scrapy 2.11 docs), as one frozen dataclass threaded through every operator.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 
@@ -37,6 +38,21 @@ class CrawlConfig:
     download_timeout_s: float = 30.0  # DOWNLOAD_TIMEOUT
     download_maxsize: int = 10 * 1024 * 1024  # DOWNLOAD_MAXSIZE
     user_agent: str = "scrapy-spark/2.0"  # USER_AGENT
+
+    # --- user hooks (U2; ref: core/downloadermw.py process_request /
+    # process_response — the user-middleware slots of the chain) --------
+    # DataFrame→DataFrame transforms at the INNERMOST middleware
+    # position: ``pre_fetch_hook`` runs on the popped batch right before
+    # the downloader (after the built-in Referer/Cookie folds, so it may
+    # overwrite those columns; rows it filters out are not fetched and
+    # consume no politeness delay — the short-circuit analog), and
+    # ``post_fetch_hook`` on the fetched batch before outcome
+    # classification (cache replays skip it, as responses short-circuited
+    # by HttpCacheMiddleware skip downloader-ward middlewares upstream).
+    # Hooks must preserve the batch contract columns; use Arrow/pandas
+    # UDFs inside, never driver-side loops.
+    pre_fetch_hook: Callable | None = None
+    post_fetch_hook: Callable | None = None
 
     # --- cookies (ref: downloadermiddlewares/cookies.py ≈L30) ---------
     # COOKIES_ENABLED (upstream default True). Active on the http fetch

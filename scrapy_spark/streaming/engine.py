@@ -356,11 +356,19 @@ class CrawlEngine:
                 from ..operators.cookies import with_cookie_header
 
                 to_fetch = with_cookie_header(to_fetch, self.store.read("cookies"))
+            if cfg.pre_fetch_hook is not None:  # U2 user slot (innermost)
+                to_fetch = cfg.pre_fetch_hook(to_fetch)
             fetched = engine_fetch(to_fetch, cfg, ts)
+            if cfg.post_fetch_hook is not None:
+                fetched = cfg.post_fetch_hook(fetched)
             if cfg.httpcache_enabled:
                 fetched = fetched.withColumn("from_cache", F.lit(False))
         else:
+            if cfg.pre_fetch_hook is not None:
+                to_fetch = cfg.pre_fetch_hook(to_fetch)
             fetched = synthetic_fetch(to_fetch, self.url_map, cfg, ts, self.redirect_map)
+            if cfg.post_fetch_hook is not None:
+                fetched = cfg.post_fetch_hook(fetched)
         if cfg.httpcache_enabled and hits is not None:
             if cfg.fetch_backend != "http":
                 hits = hits.withColumn("redirect_to", F.lit(None).cast("string"))
