@@ -39,6 +39,14 @@ class CrawlConfig:
     download_maxsize: int = 10 * 1024 * 1024  # DOWNLOAD_MAXSIZE
     user_agent: str = "scrapy-spark/2.0"  # USER_AGENT
 
+    # --- link extraction regions (F8; ref: linkextractors/lxmlhtml.py
+    # restrict_xpaths/restrict_css ≈L150). Applied on the http backend's
+    # HTML link path: only anchors inside a matching region element are
+    # extracted. CSS = simple-selector subset; XPath = the //tag /
+    # [@attr='v'] / contains() subset (functions/linkextract.py).
+    restrict_css: tuple = ()
+    restrict_xpaths: tuple = ()
+
     # --- user hooks (U2; ref: core/downloadermw.py process_request /
     # process_response — the user-middleware slots of the chain) --------
     # DataFrame→DataFrame transforms at the INNERMOST middleware

@@ -15,6 +15,14 @@ Reference predicate semantics carried over (F8 LinkExtractor):
 non-http(s) schemes dropped, hrefs resolved with ``urljoin`` against the
 page URL (honoring ``<base href>``), per-page uniqueness preserved in
 document order (``unique=True`` default).
+
+``restrict_css`` supports simple selectors (tag, .class, #id and tag-
+qualified forms); ``restrict_xpaths`` supports the documented subset
+``//step`` / ``/step`` chains where a step is ``tag`` or ``*`` with an
+optional ``[@attr='v']`` / ``[contains(@attr,'v')]`` predicate — the
+shapes upstream docs and real spiders overwhelmingly use. Both gate the
+same ancestor-region check; full cssselect/XPath needs lxml (absent in
+this container, SURVEY §0 documented-out).
 """
 
 from __future__ import annotations
@@ -53,6 +61,81 @@ def _selector_matches(sel: str, tag: str, d: dict) -> bool:
     return True
 
 
+def _compile_xpath(expr: str) -> list[tuple[bool, str, tuple[str, str, bool] | None]]:
+    """``//div[@id='x']/p`` → [(anchored, tag, pred)] where ``anchored``
+    means direct-child of the previous step (a single ``/``), ``tag`` is
+    the element name or ``*``, and ``pred`` is (attr, value,
+    is_contains) or None. Raises ValueError outside the documented
+    subset so misuse fails loudly, as upstream does for bad XPaths."""
+    import re
+
+    steps = []
+    pos = 0
+    pat = re.compile(
+        r"(/{1,2})"  # combinator
+        r"([A-Za-z][\w-]*|\*)"  # tag or *
+        r"(?:\[(?:@([\w-]+)='([^']*)'"  # [@attr='v']
+        r"|contains\(@([\w-]+),\s*'([^']*)'\))\])?"  # [contains(@a,'v')]
+    )
+    while pos < len(expr):
+        m = pat.match(expr, pos)
+        if not m:
+            raise ValueError(
+                f"restrict_xpaths: unsupported expression {expr!r} at "
+                f"offset {pos} (supported: //tag, /tag, *, [@attr='v'], "
+                f"[contains(@attr,'v')])"
+            )
+        sep, tag, a1, v1, a2, v2 = m.groups()
+        pred = None
+        if a1 is not None:
+            pred = (a1, v1, False)
+        elif a2 is not None:
+            pred = (a2, v2, True)
+        steps.append((sep == "/", tag, pred))
+        pos = m.end()
+    if not steps:
+        raise ValueError(f"restrict_xpaths: empty expression {expr!r}")
+    return steps
+
+
+def _xpath_matches(steps, path: list[tuple[str, dict]]) -> bool:
+    """Does the open-element ``path`` (root → current) end on an element
+    selected by the compiled xpath? Subsequence DP over combinators:
+    ``ok[i]`` = step prefix matched ending exactly at path depth i."""
+
+    def node_ok(step, node):
+        _anch, tag, pred = step
+        t, d = node
+        if tag != "*" and t != tag:
+            return False
+        if pred is not None:
+            attr, val, contains = pred
+            got = d.get(attr)
+            if got is None:
+                return False
+            if contains:
+                return val in got
+            return got == val
+        return True
+
+    n = len(path)
+    prev: list[bool] | None = None  # ok[] for the previous step
+    for si, step in enumerate(steps):
+        anchored, _t, _p = step
+        cur = [False] * n
+        for i in range(n):
+            if not node_ok(step, path[i]):
+                continue
+            if si == 0:
+                cur[i] = (i == 0) if anchored else True
+            elif anchored:
+                cur[i] = i > 0 and prev[i - 1]
+            else:
+                cur[i] = any(prev[:i])
+        prev = cur
+    return bool(prev[n - 1])
+
+
 class _LinkParser(HTMLParser):
     """Anchor extractor with an optional ``restrict_css`` region gate
     (F8, ref: linkextractors/lxmlhtml.py restrict_xpaths/restrict_css
@@ -60,24 +143,33 @@ class _LinkParser(HTMLParser):
     ancestor element are kept. html.parser has no DOM, so the ancestor
     check runs on a live tag stack (void elements never push)."""
 
-    def __init__(self, strip_nofollow: bool, restrict_css: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        strip_nofollow: bool,
+        restrict_css: tuple[str, ...] = (),
+        restrict_xpaths: tuple[str, ...] = (),
+    ):
         super().__init__(convert_charrefs=True)
         self.strip_nofollow = strip_nofollow
         self.restrict_css = restrict_css
+        self._xpaths = [_compile_xpath(x) for x in restrict_xpaths]
+        self._restricting = bool(restrict_css or restrict_xpaths)
         self.base: str | None = None
         self.hrefs: list[str] = []
         self._restrict_depth = 0  # open elements matching any selector
         self._stack: list[bool] = []  # per open element: matched?
+        self._path: list[tuple[str, dict]] = []  # open (tag, attrs) chain
 
     def _in_restricted(self) -> bool:
-        return not self.restrict_css or self._restrict_depth > 0
+        return not self._restricting or self._restrict_depth > 0
 
     def handle_starttag(self, tag, attrs):
         d = dict(attrs)
-        if self.restrict_css and tag not in _VOID_TAGS:
+        if self._restricting and tag not in _VOID_TAGS:
+            self._path.append((tag, d))
             matched = any(
                 _selector_matches(s, tag, d) for s in self.restrict_css
-            )
+            ) or any(_xpath_matches(x, self._path) for x in self._xpaths)
             self._stack.append(matched)
             if matched:
                 self._restrict_depth += 1
@@ -95,9 +187,10 @@ class _LinkParser(HTMLParser):
             self.hrefs.append(href)
 
     def handle_endtag(self, tag):
-        if self.restrict_css and tag not in _VOID_TAGS and self._stack:
+        if self._restricting and tag not in _VOID_TAGS and self._stack:
             if self._stack.pop():
                 self._restrict_depth -= 1
+            self._path.pop()
 
 
 def extract_links_from_html(
@@ -105,11 +198,12 @@ def extract_links_from_html(
     page_url: str,
     strip_nofollow: bool = True,
     restrict_css: tuple[str, ...] = (),
+    restrict_xpaths: tuple[str, ...] = (),
 ) -> list[str]:
     """→ resolved absolute http(s) URLs, unique, in document order."""
     if not html:
         return []
-    parser = _LinkParser(strip_nofollow, restrict_css)
+    parser = _LinkParser(strip_nofollow, restrict_css, restrict_xpaths)
     try:
         parser.feed(html)
         parser.close()
@@ -171,6 +265,31 @@ def extract_links_udf(html: pd.Series, page_url: pd.Series) -> pd.Series:
     )
 
 
+def make_extract_links_udf(
+    strip_nofollow: bool = True,
+    restrict_css: tuple[str, ...] = (),
+    restrict_xpaths: tuple[str, ...] = (),
+):
+    """Parameterized variant of ``extract_links_udf`` (F8 region
+    restriction through the engine config). XPaths compile once on the
+    driver so a bad expression raises at plan time, not per batch."""
+    for x in restrict_xpaths:
+        _compile_xpath(x)  # fail fast
+    css = tuple(restrict_css)
+    xp = tuple(restrict_xpaths)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(html: pd.Series, page_url: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                extract_links_from_html(h, u, strip_nofollow, css, xp)
+                for h, u in zip(html, page_url)
+            ]
+        )
+
+    return _udf
+
+
 @pandas_udf(T.ArrayType(T.StringType()))
 def sitemap_locs_udf(xml_text: pd.Series) -> pd.Series:
     out = []
@@ -181,11 +300,19 @@ def sitemap_locs_udf(xml_text: pd.Series) -> pd.Series:
 
 
 def explode_page_links(
-    pages: DataFrame, html_col: str = "html", url_col: str = "url_canon"
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url_canon",
+    restrict_css: tuple[str, ...] = (),
+    restrict_xpaths: tuple[str, ...] = (),
 ) -> DataFrame:
     """pages(html, url_canon, …) → one row per extracted link (``dst_url``)
     — the C13 surface that substitutes for the fixture-graph join when the
     crawl payload is real HTML."""
+    if restrict_css or restrict_xpaths:
+        udf = make_extract_links_udf(True, restrict_css, restrict_xpaths)
+    else:
+        udf = extract_links_udf
     return pages.withColumn(
-        "dst_url", F.explode(extract_links_udf(F.col(html_col), F.col(url_col)))
+        "dst_url", F.explode(udf(F.col(html_col), F.col(url_col)))
     ).drop(html_col)

@@ -458,7 +458,13 @@ class CrawlEngine:
                 F.col("seq").alias("parent_seq"),
                 F.col("fp").alias("parent_fp"),
             )
-            exploded = explode_page_links(pages, "html", "url_canon")
+            exploded = explode_page_links(
+                pages,
+                "html",
+                "url_canon",
+                restrict_css=tuple(cfg.restrict_css),
+                restrict_xpaths=tuple(cfg.restrict_xpaths),
+            )
             ldepth = F.col("parent_depth") + 1
             links_raw = exploded.select(
                 F.col("dst_url").alias("url"),

@@ -117,3 +117,121 @@ def test_restrict_css_subset():
         restrict_css=("a.cta",),
     )
     assert direct == ["http://x.example/go"]
+
+
+# ---------------------------------------------------------- restrict_xpaths
+
+RX_PAGE = """
+<html><body>
+  <div id="content"><section><a href="/c1">c</a></section></div>
+  <div class="nav side"><ul><li><a href="/n1">n</a></li><li><a href="/n2">n</a></li></ul></div>
+  <div><p><a href="/p1">p</a></p><span><a href="/s1">s</a></span></div>
+  <footer><a href="/f1">f</a></footer>
+</body></html>
+"""
+
+_B = "http://x.test"
+
+
+def _rx(xpaths, css=()):
+    return extract_links_from_html(
+        RX_PAGE, _B + "/", restrict_css=css, restrict_xpaths=xpaths
+    )
+
+
+def test_restrict_xpaths_subset():
+    """F8 restrict_xpaths (ref: lxmlhtml.py restrict_xpaths ≈L150) over
+    the documented //tag / [@attr='v'] / contains() subset."""
+    # descendant region by id — deep nesting included
+    assert _rx(("//div[@id='content']",)) == [_B + "/c1"]
+    # wildcard step with predicate
+    assert _rx(("//*[@id='content']",)) == [_B + "/c1"]
+    # contains() on a multi-class attribute
+    assert _rx(("//div[contains(@class,'nav')]",)) == [_B + "/n1", _B + "/n2"]
+    # child combinator: //div/p selects the p region, not the span
+    assert _rx(("//div/p",)) == [_B + "/p1"]
+    # absolute anchored path
+    assert _rx(("/html/body/footer",)) == [_B + "/f1"]
+    # absolute anchor that does NOT start at the root matches nothing
+    assert _rx(("/body/footer",)) == []
+    # union of several xpaths, document order preserved
+    assert _rx(("//footer", "//div[@id='content']")) == [_B + "/c1", _B + "/f1"]
+    # css and xpath regions union (upstream concatenates both)
+    assert _rx(("//div/p",), css=("footer",)) == [_B + "/p1", _B + "/f1"]
+
+
+def test_restrict_xpaths_unsupported_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _rx(("//div[position()=1]",))
+    with pytest.raises(ValueError):
+        _rx(("",))
+
+
+def test_engine_restrict_xpaths_e2e(spark):
+    """F8 through the engine config: a real crawl only follows links in
+    the restricted region."""
+    import http.server
+    import threading
+
+    import pandas as pd
+
+    from scrapy_spark.config import CrawlConfig
+    from scrapy_spark.sources.store import MemoryStore
+    from scrapy_spark.streaming.engine import CrawlEngine
+
+    hits = set()
+
+    class Site(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            hits.add(self.path)
+            body = b"<html></html>"
+            if self.path == "/start":
+                body = (
+                    b'<html><body><div id="content"><a href="/keep">k</a></div>'
+                    b'<div><a href="/skip">s</a></div></body></html>'
+                )
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Site)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        site = f"http://127.0.0.1:{srv.server_address[1]}"
+        store = MemoryStore(spark)
+        cfg = CrawlConfig(
+            fetch_backend="http",
+            robotstxt_obey=False,
+            epoch_budget=64,
+            max_epochs=4,
+            depth_limit=3,
+            depth_priority=1,
+            queue_order="fifo",
+            download_timeout_s=10.0,
+            restrict_xpaths=("//div[@id='content']",),
+        )
+        eng = CrawlEngine(
+            spark,
+            cfg,
+            store,
+            url_map=spark.createDataFrame([], "url_canon string, image_id string"),
+            graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+            robots=spark.createDataFrame([], "domain string, rules string"),
+        )
+        eng.bootstrap(
+            pd.DataFrame({"url": [f"{site}/start"], "priority": [0]}),
+            pd.DataFrame(
+                {"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}
+            ),
+        )
+        eng.run()
+    finally:
+        srv.shutdown()
+    assert "/keep" in hits and "/skip" not in hits
