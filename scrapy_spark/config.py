@@ -87,6 +87,14 @@ class CrawlConfig:
     robotstxt_obey: bool = True  # ROBOTSTXT_OBEY (ref default False; our
     # engine defaults on because the north_rule names robots gating)
     robots_user_agent: str = "*"  # ROBOTSTXT_USER_AGENT fallback
+    # Where rules come from. "table": the engine's robots fixture table
+    # (synthetic backend / pre-seeded). "http": live-fetch
+    # ``scheme://authority/robots.txt`` once per newly discovered slot
+    # during its one-epoch robots wait (ref robotstxt.py ≈L60 issues a
+    # real Request per first-seen netloc); fetched rules persist in the
+    # store's ``robots_http`` table so resumes never re-fetch. Requires
+    # fetch_backend="http".
+    robots_source: str = "table"
 
     # --- filters (ref: spidermiddlewares/*) ---------------------------
     url_length_limit: int = 2083  # URLLENGTH_LIMIT

@@ -266,25 +266,68 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
     )
 
 
-def html_pages(done: DataFrame) -> DataFrame:
-    """200-status text/html rows → decoded unicode ``html`` column (the
-    C7 decompress + C6 charset-detect pipeline, Arrow-batched)."""
+@F.pandas_udf(T.StringType())
+def decode_text_udf(body: pd.Series, ctype: pd.Series, cenc: pd.Series) -> pd.Series:
+    """body bytes → unicode via the C7 decompress + C6 charset-detect
+    pipeline (functions/http.py), Arrow-batched. Shared by the HTML link
+    path and the robots.txt fetch path."""
     from ..functions.http import decode_response_text
 
-    @F.pandas_udf(T.StringType())
-    def _decode(body: pd.Series, ctype: pd.Series, cenc: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                decode_response_text(bytes(b) if b is not None else b"", t, e)
-                for b, t, e in zip(body, ctype, cenc)
-            ]
-        )
+    return pd.Series(
+        [
+            decode_response_text(bytes(b) if b is not None else b"", t, e)
+            for b, t, e in zip(body, ctype, cenc)
+        ]
+    )
 
+
+def html_pages(done: DataFrame) -> DataFrame:
+    """200-status text/html rows → decoded unicode ``html`` column."""
     return done.filter(
         F.col("content_type").startswith("text/html")
     ).withColumn(
         "html",
-        _decode(F.col("body"), F.col("content_type"), F.col("content_encoding")),
+        decode_text_udf(
+            F.col("body"), F.col("content_type"), F.col("content_encoding")
+        ),
+    )
+
+
+def fetch_robots(new_domain_urls: DataFrame, cfg) -> DataFrame:
+    """Live robots.txt fetch for newly discovered domains (F2 × S2; ref:
+    downloadermiddlewares/robotstxt.py ≈L60 — the middleware issues a
+    real ``Request(scheme://netloc/robots.txt)`` per first-seen netloc).
+
+    ``new_domain_urls`` is (domain, url) with one representative frontier
+    URL per domain — the robots URL derives from ITS authority so a
+    nonstandard port survives (the domain alone is only the hostname).
+    Returns (domain, rules): decoded text for 200s, NULL otherwise —
+    the gate treats NULL as allow-all, matching the reference's
+    fetch-error behavior. Runs during the domain's one-epoch wait, so
+    the next epoch's gate sees the rules with zero added latency."""
+    reqs = new_domain_urls.select(
+        F.encode(F.col("domain"), "UTF-8").alias("fp"),
+        F.concat(
+            F.regexp_extract(F.col("url"), r"^(https?://[^/]+)", 1),
+            F.lit("/robots.txt"),
+        ).alias("url"),
+        F.col("domain").alias("slot"),
+    )
+    raw = http_fetch(
+        reqs,
+        concurrent_per_slot=cfg.concurrent_per_domain,
+        timeout_s=cfg.download_timeout_s,
+        maxsize=cfg.download_maxsize,
+        user_agent=cfg.user_agent,
+    )
+    return raw.select(
+        F.col("slot").alias("domain"),
+        F.when(
+            F.col("status") == 200,
+            decode_text_udf(
+                F.col("body"), F.col("content_type"), F.col("content_encoding")
+            ),
+        ).alias("rules"),
     )
 
 
@@ -331,5 +374,7 @@ __all__ = [
     "FETCH_SCHEMA",
     "engine_fetch",
     "html_pages",
+    "fetch_robots",
+    "decode_text_udf",
     "payload_items",
 ]

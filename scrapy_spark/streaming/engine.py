@@ -70,6 +70,12 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = cfg
         self.store = store
+        if cfg.robots_source == "http" and cfg.fetch_backend != "http":
+            raise ValueError(
+                "robots_source='http' (live robots.txt fetch) requires "
+                "fetch_backend='http' — the synthetic backend's rules come "
+                "from the robots fixture table (robots_source='table')"
+            )
         # DNS resolver for slot_key_mode="ip" (operators/ipslots.py);
         # injectable for deterministic tests, None = socket.getaddrinfo
         self.resolver = resolver
@@ -287,8 +293,20 @@ class CrawlEngine:
 
         # SEMANTICS 2: robots discovery (one-epoch wait for unknown domains)
         empty_sel = spark.createDataFrame([], "slot string")
+        live_robots = cfg.robotstxt_obey and cfg.robots_source == "http"
+        new_domain_urls = None
         if cfg.robotstxt_obey:
-            new_domains = e0.filter(F.col("robots_epoch").isNull()).select("slot").distinct()
+            waiting = e0.filter(F.col("robots_epoch").isNull())
+            new_domains = waiting.select("slot").distinct()
+            if live_robots:
+                # one representative frontier URL per domain: the robots
+                # URL derives from ITS authority (netfetch.fetch_robots),
+                # fetched during the domain's one-epoch wait. min(url) for
+                # determinism. In slot_key_mode="ip" several domains can
+                # share one waiting slot — each still gets its own fetch.
+                new_domain_urls = waiting.groupBy("domain").agg(
+                    F.min("url").alias("url")
+                )
             poppable = e0.filter(
                 F.col("robots_epoch").isNotNull() & (F.col("robots_epoch") < e)
             )
@@ -298,7 +316,16 @@ class CrawlEngine:
 
         # SEMANTICS 3: robots gate (count deferred to the batched collect)
         if cfg.robotstxt_obey:
-            allowed, denied = apply_robots_gate(poppable, self.robots, cfg)
+            robots_tbl = self.robots
+            if live_robots:
+                # live-fetched rules accumulated in the store (append-only;
+                # each domain is fetched exactly once, so no dedupe needed)
+                fetched_rules = self.store.read("robots_http")
+                if fetched_rules is not None:
+                    robots_tbl = robots_tbl.select("domain", "rules").unionByName(
+                        fetched_rules.select("domain", "rules")
+                    )
+            allowed, denied = apply_robots_gate(poppable, robots_tbl, cfg)
             denied = denied.select("seq", "fp").cache()
         else:
             allowed, denied = poppable, None
@@ -627,10 +654,14 @@ class CrawlEngine:
             stat_frames.append(
                 _tag(denied.agg(F.count(F.lit(1)).alias("n")), "denied")
             )
+        if new_domain_urls is not None:
+            stat_frames.append(
+                _tag(new_domain_urls.agg(F.count(F.lit(1)).alias("n")), "newdom")
+            )
         batched = stat_frames[0]
         for sf_ in stat_frames[1:]:
             batched = batched.unionByName(sf_)
-        n_popped = n_denied = queued_after = 0
+        n_popped = n_denied = queued_after = n_newdom = 0
         outcome_counts: dict[tuple[int, str], int] = {}
         part_counts: dict[int, int] = {}
         drop_counts: dict[str, int] = {}
@@ -642,6 +673,8 @@ class CrawlEngine:
                 n_denied = n
             elif t == "queued":
                 queued_after = n
+            elif t == "newdom":
+                n_newdom = n
             elif t == "drop":
                 drop_counts[r["k1"]] = n
             elif t == "fetched":
@@ -715,6 +748,17 @@ class CrawlEngine:
             mrows.append(
                 (e, -1, f"downloader/response_status_count/{status}", float(n))
             )
+        robots_fetched_df = None
+        if live_robots and n_newdom:
+            # live robots.txt fetch (F2 × S2, ref robotstxt.py ≈L60): runs
+            # executor-side when the commit materializes the append — the
+            # network round-trips overlap the domain's one-epoch wait
+            from ..operators.netfetch import fetch_robots
+
+            robots_fetched_df = fetch_robots(new_domain_urls, cfg).withColumn(
+                "epoch", F.lit(e)
+            )
+            mrows.append((e, -1, "robotstxt/request_count", float(n_newdom)))
         mrows += part_rows
         metrics_df = self.spark.createDataFrame(
             [r for r in mrows if r[3] > 0], schemas.METRICS
@@ -764,6 +808,8 @@ class CrawlEngine:
                 metrics_df = self.spark.createDataFrame(
                     [r for r in mrows if r[3] > 0], schemas.METRICS
                 )
+        if robots_fetched_df is not None:
+            appends["robots_http"] = robots_fetched_df
         if n_ok:
             appends["items"] = items
         if n_fresh:

@@ -66,14 +66,16 @@ def main() -> None:
     t0 = time.time()
     if args.backend == "http":
         # REAL network crawl: seeds from CSV, links from fetched HTML,
-        # robots discovered per-domain (table-fed; the fetch of
-        # robots.txt itself rides the same http path on a real run)
+        # robots.txt fetched LIVE per first-seen domain during its
+        # one-epoch robots wait (robots_source="http"), persisted in the
+        # store's robots_http table so resumes never re-fetch
         import pandas as pd
 
         from scrapy_spark.functions.urlnorm import parse_domain
 
         cfg = CrawlConfig(
             fetch_backend="http",
+            robots_source="http",
             epoch_budget=args.budget,
             max_epochs=args.epochs,
             allowed_domains=tuple(
