@@ -47,6 +47,19 @@ class CrawlConfig:
     restrict_css: tuple = ()
     restrict_xpaths: tuple = ()
 
+    # --- sitemaps (S5; ref: spiders/sitemap.py::SitemapSpider ≈L15) ---
+    # Engine-level SitemapSpider analog on the http backend: XML sitemap
+    # responses feed the frontier — <urlset> locs become link candidates
+    # (normal filter chain), <sitemapindex> locs become sitemap fetches
+    # (bypassing LinkExtractor predicates, as upstream _parse_sitemap
+    # requests do). With robots_source="http", ``Sitemap:`` lines in
+    # fetched robots.txt seed sitemap fetches (sitemap_urls from
+    # robots.txt, ref sitemap.py ≈L60). Default off for crawl parity.
+    sitemap_follow: bool = False
+    # regex filter on <sitemapindex> children (upstream sitemap_follow,
+    # whose default [''] matches everything); empty = follow all
+    sitemap_follow_patterns: tuple[str, ...] = ()
+
     # --- user hooks (U2; ref: core/downloadermw.py process_request /
     # process_response — the user-middleware slots of the chain) --------
     # DataFrame→DataFrame transforms at the INNERMOST middleware

@@ -299,6 +299,31 @@ def sitemap_locs_udf(xml_text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+_SITEMAP_PARTS = T.StructType(
+    [
+        T.StructField("pages", T.ArrayType(T.StringType())),
+        T.StructField("children", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@pandas_udf(_SITEMAP_PARTS)
+def sitemap_parts_udf(xml_text: pd.Series) -> pd.DataFrame:
+    """<urlset> locs → pages, <sitemapindex> locs → children — kept
+    separate so the engine can route pages through the link-filter
+    chain while child sitemaps bypass it (upstream SitemapSpider
+    ``_parse_sitemap`` requests skip LinkExtractor predicates)."""
+    rows = [parse_sitemap(x) for x in xml_text]
+    return pd.DataFrame(rows, columns=["pages", "children"])
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def robots_sitemap_urls_udf(rules: pd.Series) -> pd.Series:
+    """``Sitemap:`` lines from fetched robots.txt rules (ref:
+    spiders/sitemap.py ≈L60 — robots.txt as a sitemap source)."""
+    return pd.Series([sitemap_urls_from_robots(r) for r in rules])
+
+
 def explode_page_links(
     pages: DataFrame,
     html_col: str = "html",

@@ -500,9 +500,88 @@ class CrawlEngine:
                 "parent_seq",
                 "parent_fp",
                 "parent_url",
-            ).cache()
+            )
         else:
-            links_raw = extract_links(done, self.graph, cfg).cache()
+            links_raw = extract_links(done, self.graph, cfg)
+        # S5 SitemapSpider analog (sitemap.py ≈L15): XML sitemap responses
+        # feed the frontier — <urlset> locs ride the normal link-filter
+        # chain, <sitemapindex> locs (+ robots.txt ``Sitemap:`` seeds in
+        # live-robots mode) bypass it like upstream _parse_sitemap requests
+        sm_xml = None
+        sitemap_src = None
+        if cfg.sitemap_follow and cfg.fetch_backend == "http":
+            from ..operators.netfetch import decode_text_udf
+            from ..functions.linkextract import (
+                robots_sitemap_urls_udf,
+                sitemap_parts_udf,
+            )
+
+            sm_depth = F.col("parent_depth") + 1
+            sm_xml = (
+                done.filter(F.col("content_type").rlike("(?i)xml"))
+                .select(
+                    F.col("url").alias("parent_url"),
+                    F.col("depth").alias("parent_depth"),
+                    F.col("seq").alias("parent_seq"),
+                    F.col("fp").alias("parent_fp"),
+                    decode_text_udf(
+                        F.col("body"),
+                        F.col("content_type"),
+                        F.col("content_encoding"),
+                    ).alias("xml"),
+                )
+                .withColumn("__sm", sitemap_parts_udf(F.col("xml")))
+                .cache()  # pages + children branches share the decode
+            )
+            links_raw = links_raw.unionByName(
+                sm_xml.select(
+                    F.explode("__sm.pages").alias("url"),
+                    sm_depth.cast("int").alias("depth"),
+                    (-sm_depth * F.lit(cfg.depth_priority))
+                    .cast("int")
+                    .alias("priority"),
+                    "parent_seq",
+                    "parent_fp",
+                    "parent_url",
+                )
+            )
+            sitemap_src = sm_xml.select(
+                F.explode("__sm.children").alias("url"),
+                sm_depth.cast("int").alias("depth"),
+                (-sm_depth * F.lit(cfg.depth_priority)).cast("int").alias("priority"),
+                "parent_seq",
+                "parent_fp",
+            )
+            if cfg.sitemap_follow_patterns:
+                # upstream sitemap_follow regexes gate index children only
+                follow = F.lit(False)
+                for pat in cfg.sitemap_follow_patterns:
+                    follow = follow | F.col("url").rlike(pat)
+                sitemap_src = sitemap_src.filter(follow)
+            if live_robots:
+                # Sitemap: lines from robots rules fetched LAST epoch
+                # (the fetch materialized in epoch e-1's commit)
+                prev_rules = self.store.read("robots_http")
+                if prev_rules is not None:
+                    sitemap_src = sitemap_src.unionByName(
+                        prev_rules.filter(
+                            (F.col("epoch") == e - 1) & F.col("rules").isNotNull()
+                        ).select(
+                            F.explode(
+                                robots_sitemap_urls_udf(F.col("rules"))
+                            ).alias("url"),
+                            F.lit(0).alias("depth"),
+                            F.lit(0).alias("priority"),
+                            F.lit(-1).cast("long").alias("parent_seq"),
+                            F.lit(None).cast("binary").alias("parent_fp"),
+                        )
+                    )
+            if cfg.depth_limit:
+                # DepthMiddleware applies to sitemap requests upstream too
+                sitemap_src = sitemap_src.filter(
+                    F.col("depth") <= cfg.depth_limit
+                )
+        links_raw = links_raw.cache()
         kept, drop_counts_df = split_links(links_raw, cfg)  # counts batched below
         trace('links_split')
         # U3 referer: each link candidate's Referer value is computed from
@@ -545,12 +624,22 @@ class CrawlEngine:
             .withColumn("kind", F.lit(1))
             .withColumn("retries", F.lit(0))
         )
-        candidates = (
-            redir_cand.select(*cand_cols)
-            .unionByName(link_cand.select(*cand_cols))
-            .transform(self._apply_slot_mode)
-            .cache()
+        candidates = redir_cand.select(*cand_cols).unionByName(
+            link_cand.select(*cand_cols)
         )
+        if sitemap_src is not None:
+            # sitemap fetches (kind=3): skip the 8b LinkExtractor filters
+            # like redirect children, but dupefilter/robots/depth apply
+            sm_cand = (
+                with_request_identity(sitemap_src, impl=cfg.fingerprint_impl)
+                .withColumn("kind", F.lit(3))
+                .withColumn("retries", F.lit(0))
+                .withColumn("redirects", F.lit(0))
+                .withColumn("dont_filter", F.lit(False))
+                .withColumn("referer", F.lit(None).cast("string"))
+            )
+            candidates = candidates.unionByName(sm_cand.select(*cand_cols))
+        candidates = candidates.transform(self._apply_slot_mode).cache()
         filterable = candidates.filter(~F.col("dont_filter"))
         bypass = candidates.filter(F.col("dont_filter"))
         # one action for both counts (materializes the cache too)
@@ -841,6 +930,8 @@ class CrawlEngine:
             self._rebuild_bloom()
         for df in (frontier, popped, fetched, links_raw, candidates, fresh, frontier_next):
             df.unpersist()
+        if sm_xml is not None:
+            sm_xml.unpersist()
         if denied is not None:
             denied.unpersist()
         return EpochStats(
