@@ -13,7 +13,9 @@ DataFrameWriter — distributed, no driver-side row loop:
 - ``csv``  → ``df.write.csv`` with header,
 - ``parquet`` → columnar (the preferred cluster sink),
 - ``xml``  → XmlItemExporter re-expressed as a JVM-side Column expression
-  building one ``<item>…</item>`` line per row → ``df.write.text``.
+  building one ``<item>…</item>`` line per row → ``df.write.text``,
+- ``pickle`` / ``marshal`` / ``pprint`` → sequential single-file frames
+  via ``export_single_stream`` (driver-side by nature — see below).
 
 ``FEED_EXPORT_BATCH_ITEM_COUNT`` maps to ``maxRecordsPerFile`` (same
 contract: no output file exceeds the batch size). ``FEED_EXPORT_FIELDS``
@@ -105,7 +107,71 @@ def export_all(df: DataFrame, feeds: list[FeedConfig]) -> None:
     """The FEEDS dict: one source DataFrame, many sinks (ref:
     feedexport.py multiple-slot handling)."""
     for feed in feeds:
-        export_items(df, feed)
+        if feed.format in SINGLE_STREAM_FORMATS:
+            export_single_stream(df, feed)
+        else:
+            export_items(df, feed)
+
+
+# ------------------------------------------------- single-stream exporters
+#: The reference's Python-native sequential formats (ref: scrapy/
+#: exporters.py — PickleItemExporter ≈L280, MarshalItemExporter ≈L300,
+#: PprintItemExporter ≈L260): one file, one frame per item, in order.
+#: These formats are INHERENTLY single-stream — there is no distributed
+#: writer shape for "sequential pickle frames in one file" — so the export
+#: streams partitions through the driver with ``toLocalIterator`` (bounded
+#: memory: one partition at a time) and writes frames sequentially. Use
+#: parquet/jsonlines for cluster-scale feeds; these exist for drop-in
+#: parity with reference configs that post-process feeds in Python.
+SINGLE_STREAM_FORMATS = ("pickle", "marshal", "pprint")
+
+
+def export_single_stream(df: DataFrame, feed: FeedConfig) -> int:
+    """Write a pickle/marshal/pprint feed; returns rows written.
+
+    ``FEED_EXPORT_BATCH_ITEM_COUNT`` rolls to ``path.<batch_id>`` files
+    every N items, mirroring the reference's %(batch_id)d convention.
+    Binary columns stay native bytes (pickle/marshal round-trip them;
+    pprint shows the bytes repr), matching the reference exporters."""
+    import marshal
+    import pickle
+    import pprint as pprint_mod
+
+    if feed.where:
+        df = df.filter(feed.where)
+    if feed.fields:
+        df = df.select(*feed.fields)
+    mode = "w" if feed.format == "pprint" else "wb"
+    batch = feed.batch_item_count
+
+    def _open(batch_id: int):
+        path = f"{feed.path}.{batch_id}" if batch else feed.path
+        return open(path, mode)
+
+    def _dump(fh, d: dict) -> None:
+        if feed.format == "pickle":
+            pickle.dump(d, fh, protocol=int(feed.options.get("protocol", 4)))
+        elif feed.format == "marshal":
+            marshal.dump(d, fh)
+        else:
+            fh.write(pprint_mod.pformat(d) + "\n")
+
+    n = 0
+    fh = _open(0)
+    try:
+        for row in df.toLocalIterator():
+            d = {
+                k: bytes(v) if isinstance(v, bytearray) else v
+                for k, v in row.asDict(recursive=True).items()
+            }
+            _dump(fh, d)
+            n += 1
+            if batch and n % batch == 0:
+                fh.close()
+                fh = _open(n // batch)
+    finally:
+        fh.close()
+    return n
 
 
 # ---------------------------------------------------------- remote storages

@@ -144,3 +144,68 @@ def test_export_uri_routing(spark, tmp_path, monkeypatch):
     )
     assert stored and all(c.startswith("STOR /feeds/") for c in stored)
     assert any(c.endswith(".csv") for c in stored)
+
+
+def test_pickle_marshal_roundtrip(items_df, tmp_path):
+    """S8 single-stream exporters (ref PickleItemExporter/
+    MarshalItemExporter): sequential frames, native bytes, load-until-EOF
+    round-trips every row."""
+    import marshal
+    import pickle
+
+    from scrapy_spark.sources.sinks import export_single_stream
+
+    for fmt, loader in (("pickle", pickle.load), ("marshal", marshal.load)):
+        dst = tmp_path / f"feed.{fmt}"
+        n = export_single_stream(
+            items_df, FeedConfig(path=str(dst), format=fmt)
+        )
+        assert n == 3
+        frames = []
+        with open(dst, "rb") as fh:
+            while True:
+                try:
+                    frames.append(loader(fh))
+                except EOFError:
+                    break
+        by_id = {f["image_id"]: f for f in frames}
+        assert set(by_id) == {"img1", "img2", "img3"}
+        assert by_id["img1"]["bytes"] == b"\x01\x02"  # native bytes
+        assert by_id["img2"]["caption"] is None
+
+
+def test_pprint_literal_eval_and_batching(items_df, tmp_path):
+    """PprintItemExporter analog: pformat frames are literal-evaluable;
+    FEED_EXPORT_BATCH_ITEM_COUNT rolls path.<batch_id> files."""
+    import ast
+
+    from scrapy_spark.sources.sinks import export_single_stream
+
+    dst = tmp_path / "feed.pprint"
+    n = export_single_stream(
+        items_df,
+        FeedConfig(
+            path=str(dst),
+            format="pprint",
+            fields=("image_id", "w"),
+            batch_item_count=2,
+        ),
+    )
+    assert n == 3
+    files = sorted(tmp_path.glob("feed.pprint.*"))
+    assert [f.name for f in files] == ["feed.pprint.0", "feed.pprint.1"]
+    recs = []
+    for f in files:
+        recs += [ast.literal_eval(x) for x in f.read_text().splitlines() if x]
+    assert {r["image_id"] for r in recs} == {"img1", "img2", "img3"}
+    assert all(set(r) == {"image_id", "w"} for r in recs)  # projection
+
+
+def test_export_all_routes_single_stream(items_df, tmp_path):
+    import pickle
+
+    dst = tmp_path / "all.pickle"
+    export_all(items_df, [FeedConfig(path=str(dst), format="pickle")])
+    with open(dst, "rb") as fh:
+        first = pickle.load(fh)
+    assert "image_id" in first
