@@ -35,6 +35,12 @@ class CrawlConfig:
     # stdlib client, per-slot caps). Links then come from the fetched HTML
     # bodies (C6+C7+C13) and image payloads become items.
     fetch_backend: str = "synthetic"
+    # Wire transport for the http backend (S3; ref: handlers/http2.py —
+    # upstream selects the handler per DOWNLOAD_HANDLERS). "h1" =
+    # thread-pooled stdlib HTTP/1.1; "h2c" = HTTP/2 cleartext prior-
+    # knowledge, ONE multiplexed connection per authority
+    # (operators/http2.py) — the politeness-heavy-host path.
+    transport: str = "h1"
     download_timeout_s: float = 30.0  # DOWNLOAD_TIMEOUT
     download_maxsize: int = 10 * 1024 * 1024  # DOWNLOAD_MAXSIZE
     user_agent: str = "scrapy-spark/2.0"  # USER_AGENT

@@ -1,0 +1,451 @@
+"""HTTP/2 cleartext (h2c, prior-knowledge) transport — the S3 operator
+(SURVEY §2.1 S3; ref: core/downloader/handlers/http2.py::
+H2DownloadHandler ≈L30 — upstream builds on Twisted + the ``h2`` stack;
+this is a from-scratch RFC 9113 subset over stdlib sockets, matching the
+reference handler's surface: one connection per authority, many
+concurrent GET streams).
+
+Why it matters at crawl scale: politeness-heavy hosts bound a crawler by
+per-domain concurrency, and HTTP/1.1 pays one TCP connection per
+in-flight request. h2 multiplexes CONCURRENT_REQUESTS_PER_DOMAIN streams
+over ONE connection per slot — the loopback e2e asserts exactly that
+(N requests, 1 connection).
+
+Subset implemented (client side): connection preface + SETTINGS
+exchange/ACK, HEADERS(+CONTINUATION) with shared-HPACK header blocks,
+DATA with receive-side flow control (WINDOW_UPDATE replenish), PING ACK,
+RST_STREAM / GOAWAY error surfacing, odd-stream allocation under the
+server's MAX_CONCURRENT_STREAMS. Not implemented (documented): TLS/ALPN
+upgrade (h2c prior-knowledge only — in-sandbox there is no CA/TLS peer),
+request bodies (the crawler only GETs), PUSH_PROMISE (disabled via
+SETTINGS_ENABLE_PUSH=0), priorities, and HPACK Huffman strings
+(functions/hpack.py seam).
+
+The engine reaches this through ``CrawlConfig.transport="h2c"`` →
+``netfetch._fetch_one`` dispatch; responses come back in the exact
+``_fetch_one`` tuple shape so every downstream operator (redirects,
+cookies, retries, charset, link extraction) is transport-agnostic.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from urllib.parse import urlsplit
+
+from ..functions.hpack import Decoder, Encoder
+
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+
+# frame types (RFC 9113 §6)
+DATA, HEADERS, PRIORITY, RST_STREAM, SETTINGS = 0, 1, 2, 3, 4
+PUSH_PROMISE, PING, GOAWAY, WINDOW_UPDATE, CONTINUATION = 5, 6, 7, 8, 9
+
+FLAG_END_STREAM = 0x1
+FLAG_ACK = 0x1
+FLAG_END_HEADERS = 0x4
+FLAG_PADDED = 0x8
+FLAG_PRIORITY = 0x20
+
+SETTINGS_ENABLE_PUSH = 0x2
+SETTINGS_MAX_CONCURRENT_STREAMS = 0x3
+SETTINGS_INITIAL_WINDOW_SIZE = 0x4
+SETTINGS_MAX_FRAME_SIZE = 0x5
+
+DEFAULT_WINDOW = 65535
+
+
+def pack_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
+    return (
+        struct.pack("!I", len(payload))[1:]
+        + bytes([ftype, flags])
+        + struct.pack("!I", stream_id & 0x7FFFFFFF)
+        + payload
+    )
+
+
+def read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return bytes(buf)
+
+
+def read_frame(sock: socket.socket) -> tuple[int, int, int, bytes]:
+    """→ (type, flags, stream_id, payload)."""
+    hdr = read_exact(sock, 9)
+    length = int.from_bytes(hdr[:3], "big")
+    ftype, flags = hdr[3], hdr[4]
+    stream_id = int.from_bytes(hdr[5:9], "big") & 0x7FFFFFFF
+    payload = read_exact(sock, length) if length else b""
+    return ftype, flags, stream_id, payload
+
+
+def _strip_padding(flags: int, payload: bytes) -> bytes:
+    if flags & FLAG_PADDED:
+        pad = payload[0]
+        return payload[1 : len(payload) - pad]
+    return payload
+
+
+def settings_payload(**kv: int) -> bytes:
+    names = {
+        "enable_push": SETTINGS_ENABLE_PUSH,
+        "max_concurrent_streams": SETTINGS_MAX_CONCURRENT_STREAMS,
+        "initial_window_size": SETTINGS_INITIAL_WINDOW_SIZE,
+        "max_frame_size": SETTINGS_MAX_FRAME_SIZE,
+    }
+    return b"".join(struct.pack("!HI", names[k], v) for k, v in kv.items())
+
+
+class _Stream:
+    __slots__ = ("event", "headers", "body", "error")
+
+    def __init__(self):
+        self.event = threading.Event()
+        self.headers: list[tuple[str, str]] = []
+        self.body = bytearray()
+        self.error: str | None = None
+
+
+class H2Connection:
+    """One h2c client connection; thread-safe ``request()`` multiplexes
+    concurrent streams. A dead connection marks itself ``closed`` and the
+    pool replaces it (transient-error semantics: callers get an error
+    tuple, the engine's retry path re-queues)."""
+
+    def __init__(self, host: str, port: int, timeout_s: float = 30.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout_s)
+        # blocking reads after connect: the reader thread parks on recv
+        # between responses (an idle pooled connection must not time out);
+        # per-REQUEST deadlines live in request()'s event wait instead
+        self.sock.settimeout(None)
+        self.timeout_s = timeout_s
+        self.encoder = Encoder()
+        self.decoder = Decoder()
+        self.write_lock = threading.Lock()
+        self.state_lock = threading.Lock()
+        self.streams: dict[int, _Stream] = {}
+        self.next_stream_id = 1
+        self.closed = False
+        # conservative default under RFC-recommended server minimums; the
+        # engine's per-slot politeness cap (CONCURRENT_REQUESTS_PER_DOMAIN,
+        # default 8) sits well below it anyway
+        self.max_concurrent = 32
+        self.max_frame_size = 16384
+        self._hdr_buf: dict[int, bytearray] = {}  # CONTINUATION accumulation
+        # handshake: preface + our SETTINGS (push off)
+        with self.write_lock:
+            self.sock.sendall(
+                PREFACE
+                + pack_frame(SETTINGS, 0, 0, settings_payload(enable_push=0))
+            )
+        self._sem = threading.Semaphore(self.max_concurrent)
+        self.reader = threading.Thread(target=self._read_loop, daemon=True)
+        self.reader.start()
+
+    # ------------------------------------------------------------ reader
+    def _read_loop(self) -> None:
+        try:
+            while True:
+                ftype, flags, sid, payload = read_frame(self.sock)
+                if ftype == SETTINGS and not flags & FLAG_ACK:
+                    for off in range(0, len(payload) - 5, 6):
+                        ident, value = struct.unpack_from("!HI", payload, off)
+                        if ident == SETTINGS_MAX_CONCURRENT_STREAMS:
+                            self.max_concurrent = value
+                        elif ident == SETTINGS_MAX_FRAME_SIZE:
+                            self.max_frame_size = value
+                    self._send(pack_frame(SETTINGS, FLAG_ACK, 0, b""))
+                elif ftype == PING and not flags & FLAG_ACK:
+                    self._send(pack_frame(PING, FLAG_ACK, 0, payload))
+                elif ftype in (HEADERS, CONTINUATION):
+                    buf = self._hdr_buf.setdefault(sid, bytearray())
+                    block = _strip_padding(flags, payload)
+                    if ftype == HEADERS and flags & FLAG_PRIORITY:
+                        block = block[5:]
+                    buf += block
+                    if flags & FLAG_END_HEADERS:
+                        # HPACK blocks MUST decode in arrival order — the
+                        # single reader thread guarantees it
+                        headers = self.decoder.decode(bytes(buf))
+                        del self._hdr_buf[sid]
+                        st = self.streams.get(sid)
+                        if st is not None:
+                            st.headers += headers
+                            if flags & FLAG_END_STREAM:
+                                self._finish(sid)
+                elif ftype == DATA:
+                    body = _strip_padding(flags, payload)
+                    st = self.streams.get(sid)
+                    if st is not None:
+                        st.body += body
+                    if len(payload):  # replenish both flow-control windows
+                        wu = struct.pack("!I", len(payload))
+                        self._send(
+                            pack_frame(WINDOW_UPDATE, 0, 0, wu)
+                            + pack_frame(WINDOW_UPDATE, 0, sid, wu)
+                        )
+                    if flags & FLAG_END_STREAM:
+                        self._finish(sid)
+                elif ftype == RST_STREAM:
+                    st = self.streams.get(sid)
+                    if st is not None:
+                        st.error = f"RST_STREAM code {int.from_bytes(payload[:4], 'big')}"
+                        self._finish(sid)
+                elif ftype == GOAWAY:
+                    raise ConnectionError(
+                        f"GOAWAY code {int.from_bytes(payload[4:8], 'big')}"
+                    )
+                # PRIORITY / PUSH_PROMISE / unknown: ignored (push disabled)
+        except Exception as e:  # noqa: BLE001 — fail all pending streams
+            with self.state_lock:
+                self.closed = True
+                pending = list(self.streams.values())
+            for st in pending:
+                if not st.event.is_set():
+                    st.error = f"{type(e).__name__}: {e}"
+                    st.event.set()
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+
+    def _finish(self, sid: int) -> None:
+        st = self.streams.pop(sid, None)
+        if st is not None:
+            st.event.set()
+
+    def _send(self, data: bytes) -> None:
+        with self.write_lock:
+            self.sock.sendall(data)
+
+    # ----------------------------------------------------------- request
+    def request(
+        self, path: str, authority: str, extra_headers: dict | None = None
+    ) -> tuple[int, bytes, dict, list, str | None]:
+        """GET ``path`` → (status, body, headers, set_cookie, error)."""
+        hdrs = [
+            (":method", "GET"),
+            (":scheme", "http"),
+            (":authority", authority),
+            (":path", path),
+        ]
+        for k, v in (extra_headers or {}).items():
+            hdrs.append((k.lower(), v))
+        st = _Stream()
+        with self._sem:
+            with self.state_lock:
+                if self.closed:
+                    return 0, b"", {}, [], "ConnectionError: connection closed"
+                sid = self.next_stream_id
+                self.next_stream_id += 2
+                self.streams[sid] = st
+            try:
+                # encoder state is connection-level: serialize encode+send
+                with self.write_lock:
+                    block = self.encoder.encode(hdrs)
+                    self.sock.sendall(
+                        pack_frame(
+                            HEADERS,
+                            FLAG_END_HEADERS | FLAG_END_STREAM,
+                            sid,
+                            block,
+                        )
+                    )
+            except Exception as e:  # noqa: BLE001
+                self.streams.pop(sid, None)
+                return 0, b"", {}, [], f"{type(e).__name__}: {e}"
+            if not st.event.wait(self.timeout_s):
+                self.streams.pop(sid, None)
+                return 0, b"", {}, [], "TimeoutError: h2 stream timed out"
+        if st.error:
+            return 0, b"", {}, [], st.error
+        status = 0
+        plain: dict[str, str] = {}
+        set_cookie: list[str] = []
+        for name, value in st.headers:
+            if name == ":status":
+                status = int(value)
+            elif name == "set-cookie":
+                set_cookie.append(value)
+            else:
+                plain[name] = value
+        return status, bytes(st.body), plain, set_cookie, None
+
+    def close(self) -> None:
+        with self.state_lock:
+            self.closed = True
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class H2Pool:
+    """authority → one shared H2Connection (the per-slot connection the
+    module docstring promises). Worker-process-global, like netfetch's
+    executor-local resolver memo; dead connections are replaced on the
+    next request (callers see a retryable error row meanwhile)."""
+
+    def __init__(self, timeout_s: float = 30.0):
+        self.timeout_s = timeout_s
+        self._conns: dict[tuple[str, int], H2Connection] = {}
+        self._lock = threading.Lock()
+
+    def connect_count(self) -> int:
+        return len(self._conns)
+
+    def fetch(
+        self,
+        url: str,
+        extra_headers: dict | None = None,
+        maxsize: int = 10 * 1024 * 1024,
+    ) -> tuple[int, bytes, dict, list, bool, str | None]:
+        """``_fetch_one``-shaped: (status, body, headers, set_cookie,
+        truncated, error)."""
+        parts = urlsplit(url)
+        host, port = parts.hostname, parts.port or 80
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        key = (host, port)
+        try:
+            with self._lock:
+                conn = self._conns.get(key)
+                if conn is None or conn.closed:
+                    conn = H2Connection(host, port, self.timeout_s)
+                    self._conns[key] = conn
+        except Exception as e:  # noqa: BLE001 — connect refused/DNS
+            return 0, b"", {}, [], False, f"{type(e).__name__}: {e}"
+        status, body, headers, set_cookie, error = conn.request(
+            path, parts.netloc, extra_headers
+        )
+        truncated = len(body) > maxsize
+        return status, body[:maxsize], headers, set_cookie, truncated, error
+
+    def close(self) -> None:
+        with self._lock:
+            for conn in self._conns.values():
+                conn.close()
+            self._conns.clear()
+
+
+# ---------------------------------------------------------------- server
+class H2Server:
+    """Minimal h2c loopback server for tests — the only reachable h2 peer
+    in the sandbox (no network, SURVEY §0). Handler signature:
+    ``handler(path, headers_dict) -> (status, extra_headers, body)``.
+    Counts connections and streams so tests can assert multiplexing.
+    Response header blocks use the shared HPACK encoder with incremental
+    indexing, so the CLIENT's dynamic-table decode path is genuinely
+    exercised (not just static hits)."""
+
+    def __init__(self, handler):
+        self.handler = handler
+        self.connections = 0
+        self.requests = 0
+        self._lock = threading.Lock()
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(32)
+        self.port = self.sock.getsockname()[1]
+        self._accepting = True
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _accept_loop(self) -> None:
+        while self._accepting:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            with self._lock:
+                self.connections += 1
+            threading.Thread(
+                target=self._serve_conn, args=(conn,), daemon=True
+            ).start()
+
+    def _serve_conn(self, sock: socket.socket) -> None:
+        try:
+            if read_exact(sock, len(PREFACE)) != PREFACE:
+                sock.close()
+                return
+            wlock = threading.Lock()
+            with wlock:
+                sock.sendall(
+                    pack_frame(
+                        SETTINGS, 0, 0, settings_payload(max_concurrent_streams=64)
+                    )
+                )
+            decoder, encoder = Decoder(), Encoder()
+            hdr_buf: dict[int, bytearray] = {}
+            while True:
+                ftype, flags, sid, payload = read_frame(sock)
+                if ftype == SETTINGS and not flags & FLAG_ACK:
+                    with wlock:
+                        sock.sendall(pack_frame(SETTINGS, FLAG_ACK, 0, b""))
+                elif ftype == PING and not flags & FLAG_ACK:
+                    with wlock:
+                        sock.sendall(pack_frame(PING, FLAG_ACK, 0, payload))
+                elif ftype in (HEADERS, CONTINUATION):
+                    buf = hdr_buf.setdefault(sid, bytearray())
+                    block = _strip_padding(flags, payload)
+                    if ftype == HEADERS and flags & FLAG_PRIORITY:
+                        block = block[5:]
+                    buf += block
+                    if flags & FLAG_END_HEADERS:
+                        headers = dict(decoder.decode(bytes(buf)))
+                        del hdr_buf[sid]
+                        with self._lock:
+                            self.requests += 1
+                        threading.Thread(
+                            target=self._respond,
+                            args=(sock, wlock, encoder, sid, headers),
+                            daemon=True,
+                        ).start()
+                elif ftype == WINDOW_UPDATE:
+                    pass  # responses are small; send window never exhausted
+                elif ftype == GOAWAY:
+                    return
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            sock.close()
+
+    def _respond(self, sock, wlock, encoder, sid, headers) -> None:
+        status, extra, body = self.handler(headers.get(":path", "/"), headers)
+        hdrs = [(":status", str(status))] + [
+            (k.lower(), v) for k, v in extra.items()
+        ]
+        # encoder is connection-level shared state: encode under the
+        # write lock so blocks hit the wire in encode order
+        with wlock:
+            frames = pack_frame(
+                HEADERS,
+                FLAG_END_HEADERS | (0 if body else FLAG_END_STREAM),
+                sid,
+                encoder.encode(hdrs),
+            )
+            if body:
+                for off in range(0, len(body), 16384):
+                    chunk = body[off : off + 16384]
+                    last = off + 16384 >= len(body)
+                    frames += pack_frame(
+                        DATA, FLAG_END_STREAM if last else 0, sid, chunk
+                    )
+            try:
+                sock.sendall(frames)
+            except OSError:
+                pass
+
+    def close(self) -> None:
+        self._accepting = False
+        self.sock.close()
+
+
+__all__ = ["H2Connection", "H2Pool", "H2Server", "pack_frame", "read_frame"]

@@ -4,9 +4,10 @@ core/downloader/handlers/http11.py ≈L40).
 The round-1 gap: the fetch stage was a documented seam with only the
 synthetic in-sandbox fetcher behind it. This module is the production
 operator: popped frontier rows → ``mapInPandas`` → per-partition thread
-pool issuing real HTTP requests — stdlib ``urllib`` (no extra deps; an
-aiohttp/HTTP-2 client can be slotted into ``_fetch_one`` when available,
-import-gated like the reference's optional deps).
+pool issuing real HTTP requests. Two transports (``transport=``):
+"h1" — stdlib ``urllib`` HTTP/1.1, one connection per request; "h2c" —
+the from-scratch HTTP/2 cleartext client (operators/http2.py, S3): ONE
+multiplexed connection per authority, pooled worker-globally.
 
 Semantics mirrored from the reference downloader:
 
@@ -100,6 +101,35 @@ def _fetch_one(
         return 0, b"", {}, [], False, f"{type(e).__name__}: {e}"
 
 
+#: worker-process-global h2 connection pool (like the ipslots resolver
+#: memo): one connection per authority, reused across Arrow batches for
+#: the lifetime of the Python worker. Lock: the fetch thread pool races
+#: the lazy init (32 threads, first batch).
+_H2_POOL = None
+_H2_POOL_LOCK = threading.Lock()
+
+
+def _fetch_one_h2(
+    url: str,
+    timeout_s: float,
+    maxsize: int,
+    user_agent: str,
+    extra_headers: dict | None = None,
+) -> tuple[int, bytes, dict, list, bool, str | None]:
+    """S3 transport: same contract as ``_fetch_one`` over one multiplexed
+    h2c connection per authority (operators/http2.py)."""
+    global _H2_POOL
+    with _H2_POOL_LOCK:
+        if _H2_POOL is None:
+            from .http2 import H2Pool
+
+            _H2_POOL = H2Pool(timeout_s)
+    headers = {"user-agent": user_agent, "accept-encoding": "gzip, deflate"}
+    if extra_headers:
+        headers.update({k.lower(): v for k, v in extra_headers.items()})
+    return _H2_POOL.fetch(url, headers, maxsize)
+
+
 def http_fetch(
     requests: DataFrame,
     url_col: str = "url",
@@ -111,6 +141,8 @@ def http_fetch(
     user_agent: str = "scrapy-spark/2.0",
     repartition_by_slot: bool = False,
     headers_col: str | None = None,
+    key_col: str = "fp",
+    transport: str = "h1",
 ) -> DataFrame:
     """Fetch every row's URL; returns FETCH_SCHEMA rows 1:1 with input.
 
@@ -119,10 +151,22 @@ def http_fetch(
     executor cluster, unnecessary in one-partition tests.
 
     ``headers_col`` names an optional map<string,string> column of
-    per-request headers (Referer, Cookie, …) merged over the defaults."""
+    per-request headers (Referer, Cookie, …) merged over the defaults.
+
+    ``key_col`` names the binary column echoed back as ``fp`` in the
+    output — pass a per-ROW unique key (not the fingerprint) when the
+    batch may contain duplicate fps (dont_filter requests).
+
+    ``transport``: "h1" (thread-pooled stdlib HTTP/1.1, default) or
+    "h2c" (S3: one multiplexed HTTP/2 cleartext connection per
+    authority — operators/http2.py)."""
     if repartition_by_slot:
         requests = requests.repartition(F.col(slot_col))
-    sel = [F.col("fp"), F.col(url_col).alias("url"), F.col(slot_col).alias("slot")]
+    sel = [
+        F.col(key_col).alias("fp"),
+        F.col(url_col).alias("url"),
+        F.col(slot_col).alias("slot"),
+    ]
     if headers_col is not None:
         sel.append(F.col(headers_col).alias("__hdrs"))
     cols = requests.select(*sel)
@@ -138,9 +182,10 @@ def http_fetch(
             if extra is not None and not isinstance(extra, dict):
                 extra = dict(extra) if not isinstance(extra, float) else None
             sem = sems[slot]
+            fetch_fn = _fetch_one_h2 if transport == "h2c" else _fetch_one
             with sem:
                 t0 = time.monotonic()
-                status, body, headers, set_cookie, truncated, error = _fetch_one(
+                status, body, headers, set_cookie, truncated, error = fetch_fn(
                     url, timeout_s, maxsize, user_agent, extra
                 )
                 latency = int((time.monotonic() - t0) * 1000)
@@ -239,6 +284,14 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
         )
         to_fetch = to_fetch.withColumn("__req_headers", m)
         headers_col = "__req_headers"
+    # Join the fetch results back on the UNIQUE row key, never on fp: a
+    # popped batch may carry duplicate fps (dont_filter requests — e.g.
+    # redirect children of dont_filter seeds converging on one URL, which
+    # upstream fetches once per request too) and an fp-keyed join would
+    # multiply k fetches into k×k rows.
+    to_fetch = to_fetch.withColumn(
+        "__key", F.encode(F.col("seq").cast("string"), "UTF-8")
+    )
     raw = http_fetch(
         to_fetch,
         concurrent_per_slot=cfg.concurrent_per_domain,
@@ -246,13 +299,19 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
         maxsize=cfg.download_maxsize,
         user_agent=cfg.user_agent,
         headers_col=headers_col,
+        key_col="__key",
+        transport=cfg.transport,
     ).select(
-        "fp", "status", "body", "content_type", "content_encoding",
-        "location", "set_cookie", "latency_ms",
+        F.col("fp").alias("__key"), "status", "body", "content_type",
+        "content_encoding", "location", "set_cookie", "latency_ms",
     )
     # the frontier's own `status` column ('QUEUED') is superseded by the
     # HTTP status, exactly as synthetic_fetch overwrites it
-    joined = to_fetch.drop("status", "__req_headers").join(raw, "fp")
+    joined = (
+        to_fetch.drop("status", "__req_headers")
+        .join(raw, "__key")
+        .drop("__key")
+    )
     is_image = is_image_response()
     return (
         joined.withColumn(
@@ -319,6 +378,7 @@ def fetch_robots(new_domain_urls: DataFrame, cfg) -> DataFrame:
         timeout_s=cfg.download_timeout_s,
         maxsize=cfg.download_maxsize,
         user_agent=cfg.user_agent,
+        transport=cfg.transport,
     )
     return raw.select(
         F.col("slot").alias("domain"),
