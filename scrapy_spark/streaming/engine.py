@@ -167,13 +167,20 @@ class CrawlEngine:
 
     def bootstrap(self, seeds: pd.DataFrame, politeness: pd.DataFrame) -> None:
         """Seed the frontier (SEMANTICS 'Seeds'): dont_filter=True, depth 0,
-        seq = file order; seed fps are NOT recorded in url_seen."""
+        seq = file order; seed fps are NOT recorded in url_seen. An
+        optional ``meta_json`` column carries per-seed Request.meta —
+        ``meta['download_slot']`` overrides the politeness slot (C4, ref
+        get_slot_key ≈L105)."""
+        from ..functions.meta import meta_get
+
         pdf = seeds.reset_index(drop=True).copy()
         pdf["seq"] = pdf.index.astype("int64")
+        if "meta_json" not in pdf.columns:
+            pdf["meta_json"] = None
         raw = self.spark.createDataFrame(
-            pdf[["url", "priority", "seq"]],
-            "url string, priority int, seq long",
-        )
+            pdf[["url", "priority", "seq", "meta_json"]],
+            "url string, priority int, seq long, meta_json string",
+        ).withColumn("meta_slot", meta_get(F.col("meta_json"), "download_slot"))
         frontier = (
             with_request_identity(raw, impl=self.cfg.fingerprint_impl)
             .withColumn("depth", F.lit(0))
@@ -184,7 +191,6 @@ class CrawlEngine:
             .withColumn("redirects", F.lit(0))
             .withColumn("dont_filter", F.lit(True))
             .withColumn("referer", F.lit(None).cast("string"))  # seeds: none
-            .withColumn("meta_json", F.lit(None).cast("string"))
             .transform(self._apply_slot_mode)
             .select(*FRONTIER_COLS)
         )
@@ -410,12 +416,46 @@ class CrawlEngine:
         # status 0 = network/transport error (http backend) — retryable,
         # like the reference's connection-error path (retry.py ≈L40);
         # the synthetic fetcher never emits 0, so parity is unaffected
-        retryable = F.col("status").isin(list(cfg.retry_http_codes)) | (
-            F.col("status") == 0
+        from ..functions.meta import meta_get, meta_get_list, redirect_child_meta
+
+        # meta escape hatches honored like upstream: meta['dont_retry']
+        # (retry.py ≈L55), meta['dont_redirect'] (redirect.py ≈L45), and
+        # meta['handle_httpstatus_list'] / 'handle_httpstatus_all'
+        # (httperror.py ≈L40 + the redirect/retry middlewares' early-outs):
+        # a listed status is handed to the spider as a normal response —
+        # never redirected, retried, or failed
+        dont_retry = F.coalesce(
+            meta_get(F.col("meta_json"), "dont_retry") == "true", F.lit(False)
+        )
+        dont_redirect = F.coalesce(
+            meta_get(F.col("meta_json"), "dont_redirect") == "true", F.lit(False)
+        )
+        status_handled = F.coalesce(
+            (meta_get(F.col("meta_json"), "handle_httpstatus_all") == "true")
+            | F.array_contains(
+                meta_get_list(F.col("meta_json"), "handle_httpstatus_list"),
+                F.col("status").cast("string"),
+            ),
+            F.lit(False),
+        )
+        retryable = (
+            F.col("status").isin(list(cfg.retry_http_codes))
+            | (F.col("status") == 0)
+        ) & ~dont_retry
+        # all upstream redirect codes (redirect.py allowed_status: 301, 302,
+        # 303, 307, 308), gated on an actual Location — a 30x without one
+        # passes through as a terminal response, as upstream lets it
+        is_redirect = (
+            F.col("status").isin([301, 302, 303, 307, 308])
+            & F.col("redirect_to").isNotNull()
+            & ~dont_redirect
         )
         outcome = (
-            F.when(
-                F.col("status") == 301,
+            # handled statuses first, like upstream; status 0 = no response
+            # at all (connection error) — handle_httpstatus never applies
+            F.when(status_handled & (F.col("status") != 0), F.lit("done"))
+            .when(
+                is_redirect,
                 F.when(
                     F.col("redirects") < cfg.redirect_max_times, F.lit("redirect")
                 ).otherwise(F.lit("failed")),
@@ -469,6 +509,7 @@ class CrawlEngine:
             "redirects",
             "dont_filter",
             "referer",
+            "meta_json",
         ]
         # cached: the kept→identity branch and the drop-counts branch both
         # consume links_raw — without the cache each re-scans the source
@@ -602,6 +643,7 @@ class CrawlEngine:
             .withColumn("retries", F.lit(0))
             .withColumn("redirects", F.lit(0))
             .withColumn("dont_filter", F.lit(False))
+            .withColumn("meta_json", F.lit(None).cast("string"))  # fresh meta
         )
         # redirect children (J7, ref redirect.py ≈L70): skip the 8b spider-
         # middleware filters, inherit dont_filter, depth unchanged
@@ -618,9 +660,21 @@ class CrawlEngine:
             # redirect child = request.replace(url=...) upstream — headers
             # (incl. Referer) carry over unchanged (redirect.py ≈L80)
             F.col("referer"),
+            # meta carries over + redirect_urls/reasons/times bookkeeping
+            # (C11; redirect.py ≈L50)
+            redirect_child_meta(
+                F.col("meta_json"), F.col("url"), F.col("status")
+            ).alias("meta_json"),
         )
         redir_cand = (
-            with_request_identity(redir_src, impl=cfg.fingerprint_impl)
+            with_request_identity(
+                # meta['download_slot'] survives the hop (C4: meta wins
+                # over the hostname in get_slot_key)
+                redir_src.withColumn(
+                    "meta_slot", meta_get(F.col("meta_json"), "download_slot")
+                ),
+                impl=cfg.fingerprint_impl,
+            )
             .withColumn("kind", F.lit(1))
             .withColumn("retries", F.lit(0))
         )
@@ -637,6 +691,7 @@ class CrawlEngine:
                 .withColumn("redirects", F.lit(0))
                 .withColumn("dont_filter", F.lit(False))
                 .withColumn("referer", F.lit(None).cast("string"))
+                .withColumn("meta_json", F.lit(None).cast("string"))
             )
             candidates = candidates.unionByName(sm_cand.select(*cand_cols))
         candidates = candidates.transform(self._apply_slot_mode).cache()
@@ -683,6 +738,7 @@ class CrawlEngine:
                 F.col("redirects"),
                 F.lit(True).alias("dont_filter"),
                 F.col("referer"),  # retry = same request, headers unchanged
+                F.col("meta_json"),  # retry = same request, meta unchanged
             )
         )
         fresh_links = fresh.select(*cand_cols).unionByName(bypass.select(*cand_cols))
@@ -694,7 +750,6 @@ class CrawlEngine:
             .withColumn("seq", (F.row_number().over(w_seq) + F.lit(next_seq - 1)).cast("long"))
             .withColumn("epoch_added", F.lit(e))
             .withColumn("status", F.lit("QUEUED"))
-            .withColumn("meta_json", F.lit(None).cast("string"))
             .select(*FRONTIER_COLS)
         )
 

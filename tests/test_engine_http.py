@@ -27,6 +27,15 @@ class _Site(http.server.BaseHTTPRequestHandler):
         pass
 
     def do_GET(self):
+        if self.path.startswith("/r/"):
+            # /r/<code>/<i> → <code> redirect to /p/<i> (302/303/307/308
+            # coverage: upstream RedirectMiddleware handles them all)
+            _, _, code, i = self.path.split("/")
+            self.send_response(int(code))
+            self.send_header("Location", f"/p/{i}")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         if self.path.startswith("/p/"):
             i = int(self.path.rsplit("/", 1)[1])
             kids = [c for c in (2 * i + 1, 2 * i + 2) if c < N_PAGES]
@@ -161,3 +170,74 @@ def test_engine_http_retries_transient_errors(spark, site):
     agg = m[m.partition_id == -1].groupby("key")["value"].sum().to_dict()
     assert agg.get("retry/count", 0) == 2  # retried exactly retry_times
     assert agg.get("downloader/response_status_count/0", 0) == 3  # 1 + 2 retries
+
+
+def test_engine_http_follows_all_redirect_codes(spark, site):
+    """302/303/307/308 responses from a live server are re-queued as
+    redirect children (J7) with C11 meta bookkeeping — not just the 301
+    the synthetic fixtures exercise (upstream redirect.py allowed_status
+    covers all five codes)."""
+    import json
+
+    import pandas as pd
+
+    cfg = CrawlConfig(
+        fetch_backend="http",
+        epoch_budget=16,
+        max_epochs=10,
+        depth_limit=1,
+        queue_order="fifo",
+        robotstxt_obey=False,
+        download_timeout_s=10.0,
+        deny_url_patterns=(r"/img/", r"/blocked/", r"/p/[12]\b"),
+    )
+    store = MemoryStore(spark)
+    eng = CrawlEngine(
+        spark, cfg, store,
+        url_map=spark.createDataFrame([], "url_canon string, image_id string"),
+        graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+        robots=spark.createDataFrame([], "domain string, rules string"),
+    )
+    eng.bootstrap(
+        pd.DataFrame(
+            {"url": [f"{site}/r/{c}/0" for c in (302, 303, 307, 308)],
+             "priority": [0, 0, 0, 0]}
+        ),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}),
+    )
+    eng.run()
+
+    log = store.read("fetch_log").toPandas()
+    # all four chains converged on /p/0; the children inherit the seeds'
+    # dont_filter (request.replace semantics) so each fetches — exactly 4
+    # rows, one per HTTP fetch (the fp-keyed result join used to square
+    # this into 16)
+    p0 = log[log.url_canon.str.endswith("/p/0")]
+    assert len(p0) == 4 and (p0.status == 200).all()
+    # the 30x parents themselves are logged too, one per code
+    assert sorted(log[log.status != 200].status) == [302, 303, 307, 308]
+
+    m = store.read("metrics").toPandas()
+    agg = m[m.partition_id == -1].groupby("key")["value"].sum().to_dict()
+    assert agg.get("redirect/count", 0) == 4  # every code followed
+
+    # the surviving child carried redirect meta through the frontier: the
+    # winner's fetch-completed row is gone, so assert via a 1-epoch rerun
+    store2 = MemoryStore(spark)
+    eng2 = CrawlEngine(
+        spark, cfg, store2,
+        url_map=spark.createDataFrame([], "url_canon string, image_id string"),
+        graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+        robots=spark.createDataFrame([], "domain string, rules string"),
+    )
+    eng2.bootstrap(
+        pd.DataFrame({"url": [f"{site}/r/307/0"], "priority": [0]}),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}),
+    )
+    eng2.run(max_epochs=1)
+    child = store2.read("frontier").toPandas()
+    assert len(child) == 1 and child.url.iloc[0].endswith("/p/0")
+    meta = json.loads(child.meta_json.iloc[0])
+    assert json.loads(meta["redirect_urls"]) == [f"{site}/r/307/0"]
+    assert json.loads(meta["redirect_reasons"]) == ["307"]
+    assert meta["redirect_times"] == "1"
