@@ -395,6 +395,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: SimHash pairs → connected components →
+    (doc_id, rep_id) canonical map (datapipe/cluster.py; the keep-one-
+    per-cluster step after pair generation). Oracle: the same pairs via
+    the inlined SimHash SQL, closed transitively with a recursive CTE."""
+    from scrapy_spark.datapipe.cluster import cluster_representatives
+    from scrapy_spark.datapipe.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return cluster_representatives(pairs)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (datapipe/sampling.py): exactly
+    min(5, |stratum|) docs per (lang, source), chosen by salted-md5 hash
+    order — reproducible across runs and partitionings, exact quotas
+    (sampleBy is only Bernoulli-approximate)."""
+    from scrapy_spark.datapipe.sampling import sample_stratified
+
+    return sample_stratified(
+        _t(spark, sf_dir, "documents"),
+        ["lang", "source"],
+        5,
+        key_col="doc_id",
+        seed="42",
+    ).select("doc_id", "lang", "source", "sample_rank")
+
+
 def _jittered_corpus(emb: DataFrame) -> DataFrame:
     """embeddings ∪ 100 deterministic near-copies (even coords ×0.95, odd
     ×1.05 → cosine ≈0.9988 to the original) — gives the similarity
@@ -581,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and inlined SRP hyperplanes; only image_decode_meta is rows-only)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_cluster_reps": q_dedup_cluster_reps,
+        "sample_stratified": q_sample_stratified,
         "ann_lsh_topk": q_ann_lsh_topk,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "request_identity": q_request_identity,
@@ -590,6 +620,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _simhash_oracle_sql() -> str:
+    """SimHash near-dup pairs replicated in DuckDB (md5_number_upper bit
+    sampling, 4x16 band join, hamming<=3) - shared by the dedup_simhash
+    oracle and the dedup_cluster_reps recursive-CTE oracle."""
+    return f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(cnt * (2 * CAST((md5_number_upper(tok) >> j) & 1 AS BIGINT) - 1)) AS v
+              FROM tc CROSS JOIN range(64) r(j) GROUP BY doc_id, j),
+            shv AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << j ELSE 0 END)
+                          AS UHUGEINT) AS hu
+              FROM bits GROUP BY doc_id),
+            alld AS (
+              SELECT d.doc_id, coalesce(CAST(s.hu AS UBIGINT), 0) AS h
+              FROM documents d LEFT JOIN shv s USING (doc_id)),
+            banded AS (
+              SELECT doc_id, h, bi AS band_id, (h >> (16*bi)) & 65535 AS chunk
+              FROM alld CROSS JOIN range(4) r(bi)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        """
 
 
 def _minhash_oracle_sql() -> str:
@@ -991,30 +1052,36 @@ def oracle_sql() -> dict[str, str]:
         # inlined from the same _hash_params(seed=42) the Spark UDF uses.
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
-        "dedup_simhash": f"""
-            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
-            tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
-            bits AS (
-              SELECT doc_id, j,
-                     sum(cnt * (2 * CAST((md5_number_upper(tok) >> j) & 1 AS BIGINT) - 1)) AS v
-              FROM tc CROSS JOIN range(64) r(j) GROUP BY doc_id, j),
-            shv AS (
-              SELECT doc_id,
-                     CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << j ELSE 0 END)
-                          AS UHUGEINT) AS hu
-              FROM bits GROUP BY doc_id),
-            alld AS (
-              SELECT d.doc_id, coalesce(CAST(s.hu AS UBIGINT), 0) AS h
-              FROM documents d LEFT JOIN shv s USING (doc_id)),
-            banded AS (
-              SELECT doc_id, h, bi AS band_id, (h >> (16*bi)) & 65535 AS chunk
-              FROM alld CROSS JOIN range(4) r(bi)),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
-              FROM banded a JOIN banded b
-                ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-            SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-            FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        "dedup_simhash": _simhash_oracle_sql(),
+        "dedup_cluster_reps": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_simhash_oracle_sql()}) s
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, comp) AS (
+              SELECT id, id AS comp FROM nodes
+              UNION
+              SELECT e.a AS id, r.comp
+              FROM reach r JOIN edges e ON r.id = e.b
+            )
+            SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS rep_id
+            FROM reach GROUP BY id
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, source, sample_rank FROM (
+              SELECT doc_id, lang, source,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), '42')),
+                                doc_id
+                     ) AS INT) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 5
         """,
         "doc_winnow_fingerprints": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

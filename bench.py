@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_cluster_reps",
+    "sample_stratified",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
     "knn_cosine_topk",

@@ -1,0 +1,75 @@
+"""datapipe/cluster.py + datapipe/sampling.py unit coverage: transitive
+closure beyond direct pairs, fixpoint convergence, representative
+selection; exact stratified quotas, determinism, two-phase ≡ one-phase."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scrapy_spark.datapipe.cluster import (
+    cluster_representatives,
+    connected_components,
+)
+from scrapy_spark.datapipe.sampling import sample_stratified
+
+
+def test_connected_components_transitive_chain(spark):
+    # chain 1-2-3-4 (never all pairwise-linked) + island {10, 11}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.comp for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_representatives_keep_drop_split(spark):
+    pairs = spark.createDataFrame(
+        [(5, 7), (7, 9), (2, 3)], "id_a long, id_b long"
+    )
+    reps = cluster_representatives(pairs).toPandas()
+    by_doc = dict(zip(reps.doc_id, reps.rep_id))
+    assert by_doc == {5: 5, 7: 5, 9: 5, 2: 2, 3: 2}
+    keepers = {d for d, r in by_doc.items() if d == r}
+    assert keepers == {5, 2}  # one survivor per cluster
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 40  # diameter >> checkpoint_every: exercises the fixpoint loop
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs).toPandas()
+    assert set(out.comp) == {0} and len(out) == n + 1
+
+
+def test_sample_stratified_exact_quotas_and_determinism(spark):
+    rows = [(i, f"s{i % 3}") for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    a = sample_stratified(df, ["stratum"], 7, key_col="doc_id", seed="x")
+    pdf = a.toPandas()
+    counts = pdf.groupby("stratum").size().to_dict()
+    # exact quota where the stratum is big enough, whole stratum otherwise
+    assert counts == {"s0": 7, "s1": 7, "s2": 7, "tiny": 1}
+    # deterministic: identical selection on re-run and under repartition
+    b = sample_stratified(
+        df.repartition(13), ["stratum"], 7, key_col="doc_id", seed="x"
+    ).toPandas()
+    assert sorted(pdf.doc_id) == sorted(b.doc_id)
+    # different seed → different sample (overwhelmingly likely)
+    c = sample_stratified(df, ["stratum"], 7, key_col="doc_id", seed="y").toPandas()
+    assert sorted(pdf.doc_id) != sorted(c.doc_id)
+
+
+def test_sample_stratified_two_phase_equivalent(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(200)], "doc_id long, stratum string"
+    ).repartition(8)
+    one = sample_stratified(df, ["stratum"], 5, key_col="doc_id", seed="z")
+    two = sample_stratified(
+        df, ["stratum"], 5, key_col="doc_id", seed="z", two_phase=True
+    )
+    assert sorted(map(tuple, one.select("doc_id", "stratum", "sample_rank").collect())) == sorted(
+        map(tuple, two.select("doc_id", "stratum", "sample_rank").collect())
+    )
