@@ -407,6 +407,14 @@ def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(pairs)
 
 
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules-style repetition signals (datapipe/quality.py):
+    duplicate-line fraction + most-frequent-bigram mass per document."""
+    from scrapy_spark.datapipe.quality import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (datapipe/sampling.py): exactly
     min(5, |stratum|) docs per (lang, source), chosen by salted-md5 hash
@@ -611,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "sample_stratified": q_sample_stratified,
+        "text_repetition_stats": q_text_repetition_stats,
         "ann_lsh_topk": q_ann_lsh_topk,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "request_identity": q_request_identity,
@@ -1071,6 +1080,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS rep_id
             FROM reach GROUP BY id
+        """,
+        "text_repetition_stats": """
+            WITH lines AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS ls
+              FROM documents),
+            lstats AS (
+              SELECT doc_id, len(ls) AS n_lines,
+                     CASE WHEN len(ls) <= 1 THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+                                / len(ls), 4) END AS dup_line_frac
+              FROM lines),
+            toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(len(t) - 1),
+                            i -> t[i+1] || ' ' || t[i+2])) AS g
+              FROM toks WHERE len(t) >= 2),
+            gstats AS (
+              SELECT doc_id,
+                     round(CAST(max(c) AS DOUBLE) / sum(c), 4)
+                       AS top_bigram_frac
+              FROM (SELECT doc_id, g, count(*) AS c
+                    FROM grams GROUP BY doc_id, g)
+              GROUP BY doc_id)
+            SELECT l.doc_id,
+                   CAST(n_lines AS INT) AS n_lines,
+                   dup_line_frac,
+                   coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM lstats l LEFT JOIN gstats USING (doc_id)
         """,
         "sample_stratified": """
             SELECT doc_id, lang, source, sample_rank FROM (

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_lang_id",
     "text_token_count",
+    "text_repetition_stats",
     "doc_winnow_fingerprints",
     "request_identity",
     "crawl_frontier_pop",

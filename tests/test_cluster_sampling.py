@@ -73,3 +73,24 @@ def test_sample_stratified_two_phase_equivalent(spark):
     assert sorted(map(tuple, one.select("doc_id", "stratum", "sample_rank").collect())) == sorted(
         map(tuple, two.select("doc_id", "stratum", "sample_rank").collect())
     )
+
+
+def test_repetition_stats_hand_computed(spark):
+    from scrapy_spark.datapipe.quality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, one duplicated → dup 1 - 3/4; bigrams of
+            # "buy now buy now buy": {"buy now":2, "now buy":2} → top 2/4
+            (1, "buy now buy now buy\nunique line\nunique line\nother"),
+            (2, "single line no repeats at all"),
+            (3, ""),  # empty: no lines, no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].n_lines == 4 and got[1].dup_line_frac == 0.25
+    assert got[1].top_bigram_frac == 0.2222  # "buy now" 2 of 9 bigrams
+    assert got[2].dup_line_frac == 0.0
+    assert got[2].top_bigram_frac == round(1.0 / 5, 4)  # 5 unique bigrams
+    assert got[3].n_lines == 0 and got[3].top_bigram_frac == 0.0
