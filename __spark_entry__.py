@@ -415,6 +415,20 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (datapipe/contamination.py): every
+    50th document plays the eval set; corpus docs sharing an 8-token
+    n-gram with a probe are flagged with the distinct-shared-gram count.
+    Probe grams broadcast; corpus grams stream — no corpus shuffle."""
+    from scrapy_spark.datapipe.contamination import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return contamination_flags(docs, probes, n=8)
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (datapipe/sampling.py): exactly
     min(5, |stratum|) docs per (lang, source), chosen by salted-md5 hash
@@ -620,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "sample_stratified": q_sample_stratified,
         "text_repetition_stats": q_text_repetition_stats,
+        "text_contamination": q_text_contamination,
         "ann_lsh_topk": q_ann_lsh_topk,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "request_identity": q_request_identity,
@@ -1080,6 +1095,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS rep_id
             FROM reach GROUP BY id
+        """,
+        "text_contamination": f"""
+            WITH probes AS (
+              SELECT doc_id AS probe_id, text FROM documents
+              WHERE doc_id % 50 = 0),
+            ptoks AS (
+              SELECT probe_id, {_TOKS} AS t FROM probes),
+            pg AS (
+              SELECT DISTINCT probe_id,
+                     CAST(CAST(md5_number_upper(g) AS HUGEINT)
+                          - CAST(9223372036854775808 AS HUGEINT) AS BIGINT)
+                       AS gh
+              FROM (SELECT probe_id,
+                           unnest(list_transform(range(len(t) - 7), i ->
+                             t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                             || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                             || ' ' || t[i+7] || ' ' || t[i+8])) AS g
+                    FROM ptoks WHERE len(t) >= 8)),
+            dtoks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents),
+            dg AS (
+              SELECT DISTINCT doc_id,
+                     CAST(CAST(md5_number_upper(g) AS HUGEINT)
+                          - CAST(9223372036854775808 AS HUGEINT) AS BIGINT)
+                       AS gh
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(len(t) - 7), i ->
+                             t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                             || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                             || ' ' || t[i+7] || ' ' || t[i+8])) AS g
+                    FROM dtoks WHERE len(t) >= 8))
+            SELECT doc_id, probe_id, count(*) AS n_shared
+            FROM dg JOIN pg USING (gh)
+            GROUP BY doc_id, probe_id
         """,
         "text_repetition_stats": """
             WITH lines AS (

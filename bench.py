@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_token_count",
     "text_repetition_stats",
+    "text_contamination",
     "doc_winnow_fingerprints",
     "request_identity",
     "crawl_frontier_pop",

@@ -94,3 +94,34 @@ def test_repetition_stats_hand_computed(spark):
     assert got[2].dup_line_frac == 0.0
     assert got[2].top_bigram_frac == round(1.0 / 5, 4)  # 5 unique bigrams
     assert got[3].n_lines == 0 and got[3].top_bigram_frac == 0.0
+
+
+def test_contamination_flags_hand_built(spark):
+    from scrapy_spark.datapipe.contamination import contamination_flags
+
+    probe_sent = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text then {probe_sent} and a long tail of words"),
+            (2, "completely unrelated content with nothing shared here at all"),
+            (3, f"{probe_sent}"),  # exact probe body
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, probe_sent)], "probe_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.probe_id): r.n_shared
+        for r in contamination_flags(docs, probes, n=8).collect()
+    }
+    # probe has 10 tokens → 3 distinct 8-grams; docs 1 and 3 contain all
+    assert got == {(1, 100): 3, (3, 100): 3}
+
+
+def test_contamination_below_n_tokens_never_flags(spark):
+    from scrapy_spark.datapipe.contamination import contamination_flags
+
+    docs = spark.createDataFrame([(1, "short doc")], "doc_id long, text string")
+    probes = spark.createDataFrame([(9, "short doc")], "probe_id long, text string")
+    assert contamination_flags(docs, probes, n=8).count() == 0
