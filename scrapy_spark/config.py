@@ -43,6 +43,11 @@ class CrawlConfig:
     transport: str = "h1"
     download_timeout_s: float = 30.0  # DOWNLOAD_TIMEOUT
     download_maxsize: int = 10 * 1024 * 1024  # DOWNLOAD_MAXSIZE
+    # DOWNLOAD_FAIL_ON_DATALOSS (upstream default True): a truncated body
+    # (maxsize cut) is a download failure → retried like a transport
+    # error; False passes the partial response through as a normal one
+    # (upstream sets the 'dataloss' response flag instead)
+    download_fail_on_dataloss: bool = True
     user_agent: str = "scrapy-spark/2.0"  # USER_AGENT
 
     # --- link extraction regions (F8; ref: linkextractors/lxmlhtml.py

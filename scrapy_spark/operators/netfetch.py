@@ -304,6 +304,7 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
     ).select(
         F.col("fp").alias("__key"), "status", "body", "content_type",
         "content_encoding", "location", "set_cookie", "latency_ms",
+        "truncated",
     )
     # the frontier's own `status` column ('QUEUED') is superseded by the
     # HTTP status, exactly as synthetic_fetch overwrites it

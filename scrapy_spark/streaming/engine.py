@@ -438,9 +438,20 @@ class CrawlEngine:
             ),
             F.lit(False),
         )
+        # dataloss: a maxsize-truncated body is a download failure when
+        # DOWNLOAD_FAIL_ON_DATALOSS (upstream default) — retried like a
+        # transport error; with the flag off the partial response passes
+        # through. The synthetic fetcher has no truncated column.
+        dataloss = (
+            F.coalesce(F.col("truncated"), F.lit(False))
+            & F.lit(cfg.download_fail_on_dataloss)
+            if "truncated" in fetched.columns
+            else F.lit(False)
+        )
         retryable = (
             F.col("status").isin(list(cfg.retry_http_codes))
             | (F.col("status") == 0)
+            | dataloss
         ) & ~dont_retry
         # all upstream redirect codes (redirect.py allowed_status: 301, 302,
         # 303, 307, 308), gated on an actual Location — a 30x without one
@@ -460,7 +471,7 @@ class CrawlEngine:
                     F.col("redirects") < cfg.redirect_max_times, F.lit("redirect")
                 ).otherwise(F.lit("failed")),
             )
-            .when(F.col("status") == 200, F.lit("done"))
+            .when((F.col("status") == 200) & ~dataloss, F.lit("done"))
             .when(retryable & (F.col("retries") < cfg.retry_times), F.lit("retry"))
             .otherwise(F.lit("failed"))
         )

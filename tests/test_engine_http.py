@@ -36,6 +36,14 @@ class _Site(http.server.BaseHTTPRequestHandler):
             self.send_header("Content-Length", "0")
             self.end_headers()
             return
+        if self.path.startswith("/big/"):
+            body = b"A" * 4096  # larger than the test's download_maxsize
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if self.path.startswith("/p/"):
             i = int(self.path.rsplit("/", 1)[1])
             kids = [c for c in (2 * i + 1, 2 * i + 2) if c < N_PAGES]
@@ -241,3 +249,44 @@ def test_engine_http_follows_all_redirect_codes(spark, site):
     assert json.loads(meta["redirect_urls"]) == [f"{site}/r/307/0"]
     assert json.loads(meta["redirect_reasons"]) == ["307"]
     assert meta["redirect_times"] == "1"
+
+
+@pytest.mark.parametrize("fail_on_dataloss", [True, False])
+def test_engine_http_dataloss_semantics(spark, site, fail_on_dataloss):
+    """DOWNLOAD_FAIL_ON_DATALOSS: a maxsize-truncated body retries like a
+    transport error (default True); with the flag off the partial
+    response passes through as a normal 200."""
+    import pandas as pd
+
+    cfg = CrawlConfig(
+        fetch_backend="http",
+        epoch_budget=8,
+        max_epochs=10,
+        retry_times=2,
+        queue_order="fifo",
+        robotstxt_obey=False,
+        download_timeout_s=10.0,
+        download_maxsize=1024,
+        download_fail_on_dataloss=fail_on_dataloss,
+    )
+    store = MemoryStore(spark)
+    eng = CrawlEngine(
+        spark, cfg, store,
+        url_map=spark.createDataFrame([], "url_canon string, image_id string"),
+        graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+        robots=spark.createDataFrame([], "domain string, rules string"),
+    )
+    eng.bootstrap(
+        pd.DataFrame({"url": [f"{site}/big/0"], "priority": [0]}),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [4]}),
+    )
+    eng.run()
+    m = store.read("metrics").toPandas()
+    agg = m[m.partition_id == -1].groupby("key")["value"].sum().to_dict()
+    if fail_on_dataloss:
+        # 1 + 2 retries, all truncated → terminal failure, never "done"
+        assert agg.get("retry/count", 0) == 2
+        assert agg.get("item_scraped_count", 0) == 0
+    else:
+        assert agg.get("retry/count", 0) == 0
+        assert agg.get("item_scraped_count", 0) == 1  # partial body passed
