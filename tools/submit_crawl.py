@@ -45,6 +45,13 @@ def main() -> None:
         help="http backend: CSV with url[,priority] columns (seed list)",
     )
     ap.add_argument(
+        "--transport",
+        default="h1",
+        choices=("h1", "h2c"),
+        help="http backend wire transport: h1 = HTTP/1.1 thread pool; "
+        "h2c = one multiplexed HTTP/2 cleartext connection per authority",
+    )
+    ap.add_argument(
         "--allowed-domains",
         default="",
         help="http backend: comma-separated offsite allow-list "
@@ -76,6 +83,7 @@ def main() -> None:
         cfg = CrawlConfig(
             fetch_backend="http",
             robots_source="http",
+            transport=args.transport,
             epoch_budget=args.budget,
             max_epochs=args.epochs,
             allowed_domains=tuple(
