@@ -7,18 +7,26 @@ Pair generators (dedup.py) emit edges (id_a, id_b); transitive closure
 groups them into clusters: if A~B and B~C, all three are one cluster
 even when (A, C) never met a band bucket together.
 
-Algorithm: iterative min-label propagation over the symmetrized edge
-set — each round every node takes min(own label, neighbors' labels);
-fixpoint when no label changes. Rounds = graph diameter. For near-dup
-clusters this is small by construction (band-bucket co-membership makes
-clusters dense, quasi-star-shaped), so the loop runs 2–4 rounds on real
-corpora; each round is one shuffle join + one groupBy min. Lineage is
-cut with localCheckpoint every few rounds so the plan doesn't grow with
-iterations. For adversarial long-chain graphs the O(log n)-round
-alternating large-star/small-star algorithm (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", public) drops into the
-same loop shape; documented here as the escalation path rather than
-default because per-round cost is higher and dup graphs don't need it.
+Algorithm: min-label propagation WITH pointer jumping — each round every
+node takes min(own label, neighbors' labels, label-of-its-label);
+fixpoint when no label changes. The label-of-label hop halves the
+remaining propagation depth each round (the classic pointer-jumping /
+path-doubling trick, same convergence family as Kiveris et al.'s
+large-star — "Connected Components in MapReduce and Beyond", public),
+so rounds = O(log diameter), not diameter: a 1000-node chain converges
+in ~10 rounds instead of ~1000. Near-dup graphs are quasi-star-shaped
+anyway (band-bucket co-membership), so real corpora finish in 2–3
+rounds; the log bound is the adversarial-chain guarantee.
+
+Each round materializes once via an eager localCheckpoint — that both
+cuts lineage (the plan would otherwise grow per iteration) and makes
+the fixpoint count() read the already-computed rows instead of
+recomputing the round's joins a second time.
+
+``max_iter`` is a CORRECTNESS bound, not just a cost cap: exhausting it
+with labels still changing means the returned components would be
+wrong (they'd poison a dedup-delete list), so the loop raises instead
+of returning silently-unconverged labels.
 """
 
 from __future__ import annotations
@@ -32,49 +40,66 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """→ (id, comp): every node appearing in ``pairs``, labeled with the
     MINIMUM node id reachable from it (the canonical cluster id).
 
-    Deterministic, order-independent; converges in diameter rounds with
-    an exact fixpoint test (count of changed labels — one action per
-    round, same discipline as the engine's batched stats)."""
+    Deterministic, order-independent; converges in O(log diameter)
+    rounds (pointer jumping, module docstring) with an exact fixpoint
+    test (count of changed labels — one action per round, same
+    discipline as the engine's batched stats). Raises RuntimeError if
+    ``max_iter`` rounds pass without convergence — unconverged labels
+    are WRONG labels, never returned."""
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
     )
-    for i in range(max_iter):
-        # min over self + neighbors' current labels
+    changed = -1
+    for _ in range(max_iter):
+        # min over neighbors' current labels
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "b"), "b")
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("comp").alias("nmin"))
         )
+        # min over label-of-label (pointer jump): comp values are node
+        # ids, so self-join labels on comp == id to hop one level up
+        hop = labels.select(
+            F.col("id").alias("comp"), F.col("comp").alias("jmp")
+        )
         updated = (
             labels.join(neighbor_min, "id", "left")
+            .join(hop, "comp", "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
-                    "new_comp"
-                ),
+                F.least(
+                    F.col("comp"),
+                    F.coalesce(F.col("nmin"), F.col("comp")),
+                    F.coalesce(F.col("jmp"), F.col("comp")),
+                ).alias("new_comp"),
                 F.col("comp"),
             )
+            # one materialization per round: cuts lineage AND lets the
+            # fixpoint count reuse the computed rows
+            .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
         labels = updated.select("id", F.col("new_comp").alias("comp"))
-        if (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
-    edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter; returning "
+            "unconverged labels would corrupt downstream dedup decisions"
+        )
     return labels
 
 

@@ -177,9 +177,22 @@ class Encoder:
 
     def __init__(self, max_table_size: int = 4096):
         self.table = _DynamicTable(max_table_size)
+        self._pending_resize: int | None = None
+
+    def resize(self, new_max: int) -> None:
+        """Apply the peer's SETTINGS_HEADER_TABLE_SIZE (RFC 7541 §4.2):
+        the new cap takes effect now, and the NEXT header block must open
+        with a dynamic-table size update (§6.3) so the peer's decoder
+        evicts in lockstep. Setting an int attribute is atomic, so the
+        h2 reader thread may call this while a writer encodes."""
+        self._pending_resize = new_max
 
     def encode(self, headers: list[tuple[str, str]]) -> bytes:
         out = bytearray()
+        if self._pending_resize is not None:
+            new_max, self._pending_resize = self._pending_resize, None
+            self.table.resize(new_max)
+            out += encode_int(new_max, 5, 0x20)  # §6.3 size update
         for name, value in headers:
             name = name.lower()
             idx_exact = idx_name = 0

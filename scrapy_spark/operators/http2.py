@@ -48,6 +48,7 @@ FLAG_END_HEADERS = 0x4
 FLAG_PADDED = 0x8
 FLAG_PRIORITY = 0x20
 
+SETTINGS_HEADER_TABLE_SIZE = 0x1
 SETTINGS_ENABLE_PUSH = 0x2
 SETTINGS_MAX_CONCURRENT_STREAMS = 0x3
 SETTINGS_INITIAL_WINDOW_SIZE = 0x4
@@ -112,6 +113,40 @@ class _Stream:
         self.error: str | None = None
 
 
+class _DynLimiter:
+    """Context-manager concurrency gate whose limit can change at runtime
+    — a Semaphore can't shrink, but the server's MAX_CONCURRENT_STREAMS
+    arrives AFTER streams may already be in flight. In-flight streams
+    above a lowered limit finish normally (RFC 9113 §6.5.2 — a reduced
+    limit applies to new streams); new requests wait."""
+
+    def __init__(self, limit: int):
+        self._cond = threading.Condition()
+        self._limit = max(1, limit)
+        self._inflight = 0
+
+    @property
+    def limit(self) -> int:
+        return self._limit
+
+    def set_limit(self, n: int) -> None:
+        with self._cond:
+            self._limit = max(1, n)
+            self._cond.notify_all()
+
+    def __enter__(self) -> "_DynLimiter":
+        with self._cond:
+            while self._inflight >= self._limit:
+                self._cond.wait()
+            self._inflight += 1
+        return self
+
+    def __exit__(self, *exc) -> None:
+        with self._cond:
+            self._inflight -= 1
+            self._cond.notify_all()
+
+
 class H2Connection:
     """One h2c client connection; thread-safe ``request()`` multiplexes
     concurrent streams. A dead connection marks itself ``closed`` and the
@@ -137,14 +172,18 @@ class H2Connection:
         # default 8) sits well below it anyway
         self.max_concurrent = 32
         self.max_frame_size = 16384
-        self._hdr_buf: dict[int, bytearray] = {}  # CONTINUATION accumulation
+        # CONTINUATION accumulation: sid → [block bytes, END_STREAM latch].
+        # END_STREAM can only appear on the initiating HEADERS frame
+        # (CONTINUATION never carries it, RFC 9113 §6.10), so it is
+        # latched there and applied when END_HEADERS finally arrives.
+        self._hdr_buf: dict[int, list] = {}
         # handshake: preface + our SETTINGS (push off)
         with self.write_lock:
             self.sock.sendall(
                 PREFACE
                 + pack_frame(SETTINGS, 0, 0, settings_payload(enable_push=0))
             )
-        self._sem = threading.Semaphore(self.max_concurrent)
+        self._sem = _DynLimiter(self.max_concurrent)
         self.reader = threading.Thread(target=self._read_loop, daemon=True)
         self.reader.start()
 
@@ -158,26 +197,35 @@ class H2Connection:
                         ident, value = struct.unpack_from("!HI", payload, off)
                         if ident == SETTINGS_MAX_CONCURRENT_STREAMS:
                             self.max_concurrent = value
+                            self._sem.set_limit(value)
                         elif ident == SETTINGS_MAX_FRAME_SIZE:
                             self.max_frame_size = value
+                        elif ident == SETTINGS_HEADER_TABLE_SIZE:
+                            # bounds OUR encoder's dynamic table; next
+                            # header block opens with a §6.3 size update
+                            self.encoder.resize(value)
                     self._send(pack_frame(SETTINGS, FLAG_ACK, 0, b""))
                 elif ftype == PING and not flags & FLAG_ACK:
                     self._send(pack_frame(PING, FLAG_ACK, 0, payload))
                 elif ftype in (HEADERS, CONTINUATION):
-                    buf = self._hdr_buf.setdefault(sid, bytearray())
+                    ent = self._hdr_buf.setdefault(sid, [bytearray(), False])
                     block = _strip_padding(flags, payload)
-                    if ftype == HEADERS and flags & FLAG_PRIORITY:
-                        block = block[5:]
-                    buf += block
+                    if ftype == HEADERS:
+                        if flags & FLAG_PRIORITY:
+                            block = block[5:]
+                        # latch: CONTINUATION never carries END_STREAM
+                        ent[1] = bool(flags & FLAG_END_STREAM)
+                    ent[0] += block
                     if flags & FLAG_END_HEADERS:
                         # HPACK blocks MUST decode in arrival order — the
                         # single reader thread guarantees it
-                        headers = self.decoder.decode(bytes(buf))
+                        headers = self.decoder.decode(bytes(ent[0]))
+                        end_stream = ent[1]
                         del self._hdr_buf[sid]
                         st = self.streams.get(sid)
                         if st is not None:
                             st.headers += headers
-                            if flags & FLAG_END_STREAM:
+                            if end_stream:
                                 self._finish(sid)
                 elif ftype == DATA:
                     body = _strip_padding(flags, payload)
@@ -296,6 +344,10 @@ class H2Pool:
         self.timeout_s = timeout_s
         self._conns: dict[tuple[str, int], H2Connection] = {}
         self._lock = threading.Lock()
+        # per-authority connect locks: a blocking TCP connect/handshake to
+        # one dead host (up to timeout_s) must never serialize fetches to
+        # OTHER authorities, so the pool-global lock only guards the dicts
+        self._key_locks: dict[tuple[str, int], threading.Lock] = {}
 
     def connect_count(self) -> int:
         return len(self._conns)
@@ -314,14 +366,23 @@ class H2Pool:
         if parts.query:
             path += "?" + parts.query
         key = (host, port)
-        try:
-            with self._lock:
-                conn = self._conns.get(key)
+        with self._lock:
+            conn = self._conns.get(key)
+            klock = self._key_locks.setdefault(key, threading.Lock())
+        if conn is None or conn.closed:
+            # connect OUTSIDE the pool-global lock: only same-authority
+            # requests wait on this handshake (and they'd share the
+            # resulting connection anyway)
+            with klock:
+                with self._lock:
+                    conn = self._conns.get(key)
                 if conn is None or conn.closed:
-                    conn = H2Connection(host, port, self.timeout_s)
-                    self._conns[key] = conn
-        except Exception as e:  # noqa: BLE001 — connect refused/DNS
-            return 0, b"", {}, [], False, f"{type(e).__name__}: {e}"
+                    try:
+                        conn = H2Connection(host, port, self.timeout_s)
+                    except Exception as e:  # noqa: BLE001 — refused/DNS
+                        return 0, b"", {}, [], False, f"{type(e).__name__}: {e}"
+                    with self._lock:
+                        self._conns[key] = conn
         status, body, headers, set_cookie, error = conn.request(
             path, parts.netloc, extra_headers
         )

@@ -43,7 +43,12 @@ def with_ip_slot(
 ) -> DataFrame:
     """Rewrite ``slot`` to the resolved IP of ``domain`` (fallback: the
     domain itself when resolution fails). ``resolver`` is injectable for
-    deterministic tests; None = real getaddrinfo."""
+    deterministic tests; None = real getaddrinfo.
+
+    Upstream get_slot_key returns ``meta['download_slot']`` FIRST, before
+    the IP branch (core/downloader/__init__.py ≈L100) — so when the frame
+    carries a ``meta_slot`` column the explicit override wins over the
+    resolved IP here too."""
     res = resolver or default_resolver
 
     @pandas_udf(T.StringType())
@@ -56,7 +61,10 @@ def with_ip_slot(
             out.append(cache[d] or d)
         return pd.Series(out)
 
-    return df.withColumn("slot", _ip_slot(F.col(domain_col)))
+    ip_slot = _ip_slot(F.col(domain_col))
+    if "meta_slot" in df.columns:
+        ip_slot = F.coalesce(F.col("meta_slot"), ip_slot)
+    return df.withColumn("slot", ip_slot)
 
 
 __all__ = ["with_ip_slot", "default_resolver"]

@@ -420,10 +420,13 @@ class CrawlEngine:
 
         # meta escape hatches honored like upstream: meta['dont_retry']
         # (retry.py ≈L55), meta['dont_redirect'] (redirect.py ≈L45), and
-        # meta['handle_httpstatus_list'] / 'handle_httpstatus_all'
-        # (httperror.py ≈L40 + the redirect/retry middlewares' early-outs):
-        # a listed status is handed to the spider as a normal response —
-        # never redirected, retried, or failed
+        # meta['handle_httpstatus_list'] / 'handle_httpstatus_all'.
+        # Only RedirectMiddleware (redirect.py ≈L45) and HttpError
+        # (httperror.py ≈L40) consult handle_httpstatus — RetryMiddleware
+        # has NO such early-out, so a handled 503 still retries first and
+        # the handled response is delivered only when retries exhaust
+        # (matching the upstream middleware chain; use dont_retry to skip
+        # retries outright)
         dont_retry = F.coalesce(
             meta_get(F.col("meta_json"), "dont_retry") == "true", F.lit(False)
         )
@@ -461,18 +464,25 @@ class CrawlEngine:
             & F.col("redirect_to").isNotNull()
             & ~dont_redirect
         )
+        # handle_httpstatus never applies to status 0 (no response at all,
+        # connection error) nor to dataloss failures (upstream raises
+        # ResponseFailed in the downloader — no response reaches the
+        # spider middlewares)
+        handled = status_handled & (F.col("status") != 0) & ~dataloss
         outcome = (
-            # handled statuses first, like upstream; status 0 = no response
-            # at all (connection error) — handle_httpstatus never applies
-            F.when(status_handled & (F.col("status") != 0), F.lit("done"))
-            .when(
-                is_redirect,
+            # redirect suppression is the one downloader-mw early-out
+            # handle_httpstatus has (redirect.py ≈L45)
+            F.when(
+                is_redirect & ~handled,
                 F.when(
                     F.col("redirects") < cfg.redirect_max_times, F.lit("redirect")
                 ).otherwise(F.lit("failed")),
             )
             .when((F.col("status") == 200) & ~dataloss, F.lit("done"))
+            # retry BEFORE handled-status delivery: RetryMiddleware has no
+            # handle_httpstatus early-out upstream
             .when(retryable & (F.col("retries") < cfg.retry_times), F.lit("retry"))
+            .when(handled, F.lit("done"))
             .otherwise(F.lit("failed"))
         )
         fetched = fetched.withColumn("outcome", outcome)

@@ -36,12 +36,37 @@ def test_cluster_representatives_keep_drop_split(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    n = 40  # diameter >> checkpoint_every: exercises the fixpoint loop
+    n = 40  # long chain: exercises the fixpoint loop
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
     out = connected_components(pairs).toPandas()
     assert set(out.comp) == {0} and len(out) == n + 1
+
+
+def test_connected_components_chain_beyond_max_iter_diameter(spark):
+    # ADVICE r3: plain min-label propagation needs ~diameter rounds, so a
+    # 120-node chain would silently exceed max_iter=50 and return WRONG
+    # labels. Pointer jumping converges in O(log d) rounds — a small
+    # max_iter must suffice, with exactly-correct labels.
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, max_iter=15).toPandas()
+    assert set(out.comp) == {0} and len(out) == n + 1
+
+
+def test_connected_components_raises_instead_of_wrong_labels(spark):
+    # exhausting max_iter with labels still moving must raise, never
+    # return unconverged (incorrect) components
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
 
 
 def test_sample_stratified_exact_quotas_and_determinism(spark):

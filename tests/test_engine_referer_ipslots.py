@@ -184,6 +184,51 @@ def test_ip_slot_mode_shares_politeness_slot(spark, site):
     assert hosts == {f"127.0.0.1:{port}", f"localhost:{port}"}
 
 
+def test_ip_slot_mode_download_slot_meta_override_wins(spark, site):
+    """Upstream get_slot_key returns meta['download_slot'] FIRST, before
+    the IP branch (downloader/__init__.py ≈L100) — so under
+    slot_key_mode="ip" a seed carrying the override must keep it, not get
+    clobbered by the resolved IP (ADVICE r3, ipslots.py)."""
+    import json
+
+    base, port = site
+    cfg = CrawlConfig(
+        fetch_backend="http",
+        robotstxt_obey=False,
+        slot_key_mode="ip",
+        queue_order="fifo",
+        depth_limit=1,
+        max_epochs=3,
+        download_timeout_s=10.0,
+    )
+    resolver = {"localhost": "127.0.0.1", "127.0.0.1": "127.0.0.1"}.get
+    eng = _engine(spark, cfg, resolver=resolver)
+    eng.bootstrap(
+        pd.DataFrame(
+            {
+                "url": [
+                    f"http://127.0.0.1:{port}/p/0",  # IP slot
+                    f"http://localhost:{port}/p/1",  # explicit override
+                ],
+                "priority": [0, 0],
+                "meta_json": [None, json.dumps({"download_slot": "vip"})],
+            }
+        ),
+        pd.DataFrame(
+            {"slot": ["127.0.0.1", "vip"], "delay_ms": [0, 0],
+             "concurrency": [8, 8]}
+        ),
+    )
+    frontier = eng.store.read("frontier").toPandas().set_index("url")
+    assert frontier.loc[f"http://127.0.0.1:{port}/p/0", "slot"] == "127.0.0.1"
+    assert frontier.loc[f"http://localhost:{port}/p/1", "slot"] == "vip"
+    eng.run()
+    pops = eng.store.read("pop_log").toPandas()
+    by_url = dict(zip(pops.url_canon, pops.slot))
+    assert by_url[f"http://localhost:{port}/p/1"] == "vip"
+    assert by_url[f"http://127.0.0.1:{port}/p/0"] == "127.0.0.1"
+
+
 def test_ip_slot_mode_frontier_rows_keyed_by_ip(spark, site):
     """Link candidates discovered mid-crawl also get the IP slot (not just
     seeds): frontier rows committed for /p/1 carry slot 127.0.0.1 even when

@@ -60,6 +60,23 @@ def test_hpack_rejects_huffman_strings():
         Decoder().decode(block)
 
 
+def test_hpack_encoder_resize_emits_size_update():
+    # RFC 7541 §4.2/§6.3: after the peer lowers SETTINGS_HEADER_TABLE_SIZE
+    # the next encoded block must OPEN with a dynamic-table size update so
+    # the peer's decoder evicts in lockstep
+    enc, dec = Encoder(), Decoder()
+    assert dec.decode(enc.encode([("x-a", "1")])) == [("x-a", "1")]
+    enc.resize(64)
+    block = enc.encode([("x-b", "2")])
+    assert block[0] & 0xE0 == 0x20  # §6.3 opcode first
+    assert dec.decode(block) == [("x-b", "2")]
+    assert enc.table.max_size == 64 and dec.table.max_size == 64
+    # one-shot: the following block carries no further update
+    block2 = enc.encode([("x-b", "2")])
+    assert block2[0] & 0xE0 != 0x20
+    assert dec.decode(block2) == [("x-b", "2")]
+
+
 def test_hpack_literal_without_indexing_and_table_size_update():
     # hand-built block: size-update(0), literal-without-indexing with
     # static name ref 38 (host), plain value
@@ -144,6 +161,196 @@ def test_http_fetch_operator_over_h2c(spark, h2srv):
         assert row.status == 200 and row.error is None
         assert bytes(row.body) == bytes(row.fp)
     assert h2srv.connections == 1  # multiplexing held through Spark
+
+
+# ------------------------------------------------- scripted-frame servers
+def _scripted_server(respond):
+    """Single-connection raw h2 server: accepts one peer, reads the
+    preface, sends the given SETTINGS payload, then calls
+    ``respond(sock, sid)`` per client HEADERS frame. Returns
+    (listen_sock, port, serve_fn)."""
+    import socket as _socket
+
+    from scrapy_spark.operators.http2 import (
+        FLAG_ACK,
+        HEADERS,
+        PREFACE,
+        SETTINGS,
+        pack_frame,
+        read_exact,
+        read_frame,
+    )
+
+    lsock = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+    lsock.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+
+    def serve(initial_settings: bytes):
+        conn, _ = lsock.accept()
+        try:
+            read_exact(conn, len(PREFACE))
+            conn.sendall(pack_frame(SETTINGS, 0, 0, initial_settings))
+            while True:
+                ftype, flags, sid, payload = read_frame(conn)
+                if ftype == SETTINGS and not flags & FLAG_ACK:
+                    conn.sendall(pack_frame(SETTINGS, FLAG_ACK, 0, b""))
+                elif ftype == HEADERS:
+                    respond(conn, sid)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            conn.close()
+
+    return lsock, port, serve
+
+
+def test_h2_end_stream_latched_across_continuation():
+    """A header-only response whose HEADERS frame carries END_STREAM but
+    defers END_HEADERS to a CONTINUATION (which can never carry
+    END_STREAM, RFC 9113 §6.10) must complete — not hang to timeout."""
+    from scrapy_spark.operators.http2 import (
+        CONTINUATION,
+        FLAG_END_HEADERS,
+        FLAG_END_STREAM,
+        HEADERS,
+        H2Connection,
+        pack_frame,
+    )
+
+    enc = Encoder()
+
+    def respond(conn, sid):
+        block = enc.encode([(":status", "204"), ("x-a", "1"), ("x-b", "2")])
+        half = max(1, len(block) // 2)
+        conn.sendall(
+            pack_frame(HEADERS, FLAG_END_STREAM, sid, block[:half])
+            + pack_frame(CONTINUATION, FLAG_END_HEADERS, sid, block[half:])
+        )
+
+    lsock, port, serve = _scripted_server(respond)
+    t = threading.Thread(target=serve, args=(b"",), daemon=True)
+    t.start()
+    try:
+        cl = H2Connection("127.0.0.1", port, timeout_s=5.0)
+        status, body, headers, sc, err = cl.request("/", f"127.0.0.1:{port}")
+        assert (status, body, err) == (204, b"", None)
+        assert headers == {"x-a": "1", "x-b": "2"}
+        cl.close()
+    finally:
+        lsock.close()
+
+
+def test_h2_server_settings_shrink_limiter_and_encoder_table():
+    """SETTINGS_MAX_CONCURRENT_STREAMS below our default must shrink the
+    stream limiter; SETTINGS_HEADER_TABLE_SIZE must cap our HPACK encoder
+    (emitting the §6.3 size update the server's decoder consumes)."""
+    from scrapy_spark.operators.http2 import (
+        FLAG_END_HEADERS,
+        FLAG_END_STREAM,
+        HEADERS,
+        H2Connection,
+        pack_frame,
+        settings_payload,
+    )
+
+    enc = Encoder()
+
+    def respond(conn, sid):
+        block = enc.encode([(":status", "200")])
+        conn.sendall(
+            pack_frame(HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM, sid, block)
+        )
+
+    import struct
+
+    lsock, port, serve = _scripted_server(respond)
+    # SETTINGS_HEADER_TABLE_SIZE (0x1) = 128 alongside the stream cap
+    init = settings_payload(max_concurrent_streams=2) + struct.pack(
+        "!HI", 0x1, 128
+    )
+    t = threading.Thread(target=serve, args=(init,), daemon=True)
+    t.start()
+    try:
+        cl = H2Connection("127.0.0.1", port, timeout_s=5.0)
+        s1, *_r1, e1 = cl.request("/a", f"127.0.0.1:{port}")
+        assert (s1, e1) == (200, None)
+        # server SETTINGS arrived before its response: limiter + encoder
+        assert cl.max_concurrent == 2 and cl._sem.limit == 2
+        # next header block opens with the size update and the table caps
+        s2, *_r2, e2 = cl.request("/b", f"127.0.0.1:{port}")
+        assert (s2, e2) == (200, None)
+        assert cl.encoder.table.max_size == 128
+        cl.close()
+    finally:
+        lsock.close()
+
+
+def test_dyn_limiter_shrinks_below_inflight():
+    from scrapy_spark.operators.http2 import _DynLimiter
+
+    lim = _DynLimiter(4)
+    lim.__enter__()
+    lim.__enter__()
+    lim.set_limit(1)  # below current in-flight: existing finish, new wait
+    blocked = threading.Event()
+    entered = threading.Event()
+
+    def go():
+        blocked.set()
+        with lim:
+            entered.set()
+
+    t = threading.Thread(target=go, daemon=True)
+    t.start()
+    blocked.wait(2.0)
+    assert not entered.wait(0.2)  # gated while 2 ≥ limit 1
+    lim.__exit__(None, None, None)
+    assert not entered.wait(0.2)  # still 1 ≥ limit 1
+    lim.__exit__(None, None, None)
+    assert entered.wait(2.0)  # 0 < 1 → admitted
+    t.join(2.0)
+
+
+def test_h2_pool_dead_host_does_not_serialize_other_authorities(h2srv, monkeypatch):
+    """A blocking connect to one dead authority must not stall fetches to
+    other authorities (the pool-global lock only guards dict state)."""
+    import time
+
+    from scrapy_spark.operators import http2 as h2mod
+
+    real_conn = h2mod.H2Connection
+    slow_started = threading.Event()
+
+    class SlowConn:
+        def __new__(cls, host, port, timeout_s=30.0):
+            if port == 9:  # the dead authority
+                slow_started.set()
+                time.sleep(1.5)
+                raise ConnectionError("dead host")
+            return real_conn(host, port, timeout_s)
+
+    monkeypatch.setattr(h2mod, "H2Connection", SlowConn)
+    pool = h2mod.H2Pool(timeout_s=5.0)
+    results = {}
+
+    def slow():
+        results["slow"] = pool.fetch("http://127.0.0.1:9/x")
+
+    t = threading.Thread(target=slow, daemon=True)
+    t.start()
+    slow_started.wait(2.0)
+    t0 = time.monotonic()
+    status, body, *_rest, err = pool.fetch(
+        f"http://127.0.0.1:{h2srv.port}/echo/fast"
+    )
+    live_elapsed = time.monotonic() - t0
+    assert (status, body, err) == (200, b"fast", None)
+    assert live_elapsed < 1.0  # not serialized behind the 1.5 s dead connect
+    t.join(5.0)
+    assert results["slow"][0] == 0 and results["slow"][-1]
+    pool.close()
 
 
 def test_engine_crawl_over_h2c(spark):

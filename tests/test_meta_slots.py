@@ -100,6 +100,60 @@ def test_download_slot_survives_redirect_hop(spark):
     assert json.loads(meta["redirect_urls"]) == [alias]
 
 
+def _url_with_synthetic_503():
+    """Scan deterministic URLs for one whose fingerprint first byte < 5 —
+    the synthetic fetcher's 503 rule (fixtures.fetch_status_for_fp)."""
+    from scrapy_spark.functions.fingerprint import fingerprint
+
+    for i in range(4000):
+        url = f"https://{A}/page/{i}"
+        if fingerprint(url)[0] < 5:
+            return url
+    raise AssertionError("no 503 URL found in 4000 candidates")
+
+
+@pytest.mark.parametrize(
+    "meta,expect_attempts,expect_done",
+    [
+        # no escape hatch: 503 retries, exhausts, fails
+        (None, 2, 0),
+        # handled 503: upstream RetryMiddleware has NO handle_httpstatus
+        # early-out — it still retries first; the handled response is
+        # delivered to the spider only when retries exhaust (ADVICE r3)
+        (json.dumps({"handle_httpstatus_list": json.dumps(["503"])}), 2, 1),
+        # dont_retry + handled: delivered immediately, single fetch
+        (
+            json.dumps(
+                {
+                    "handle_httpstatus_list": json.dumps(["503"]),
+                    "dont_retry": "true",
+                }
+            ),
+            1,
+            1,
+        ),
+    ],
+)
+def test_handled_503_retries_before_delivery(spark, meta, expect_attempts, expect_done):
+    url = _url_with_synthetic_503()
+    fix = _fixture(url_map_urls=[url])
+    fix.seeds = pd.DataFrame(
+        {"url": [url], "priority": [0], "meta_json": [meta]}
+    )
+    fix.politeness = pd.DataFrame(
+        {"slot": [A], "delay_ms": [0], "concurrency": [4]}
+    )
+    store = MemoryStore(spark)
+    cfg = CrawlConfig(retry_times=1, **_CFG)
+    eng = CrawlEngine.from_fixture(spark, cfg, store, fix)
+    eng.run(max_epochs=4)
+    log = store.read("fetch_log").toPandas()
+    assert list(log.status) == [503] * expect_attempts
+    m = store.read("metrics").toPandas()
+    done = m[(m.partition_id == -1) & (m.key == "item_scraped_count")]["value"].sum()
+    assert done == expect_done
+
+
 @pytest.mark.parametrize(
     "meta,expect_done",
     [
