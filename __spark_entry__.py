@@ -588,6 +588,67 @@ def q_image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_size_filter(decode_image_meta(corpus), min_w=8, min_h=8)
 
 
+def _synthetic_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (image_id, phash) table both engines can derive:
+    base phash = top 60 bits of md5(doc_id) (15 hex chars → fits signed
+    int64 non-negative); every doc_id % 37 == 0 gets two planted
+    near-dup twins — ids +10M / +20M, phash with ≤3 / ≤2 bits flipped at
+    doc_id-derived positions. The DuckDB oracle replicates this exactly
+    (md5_number_upper >> 4 and the same shift masks), so the banded
+    hamming join is fully value-checked; the REAL-pixel phash path (same
+    operator over synth_corpus_df's stored phash) is covered by
+    tests/test_images_phash.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = docs.select(F.col("doc_id").alias("image_id"), h.alias("phash"))
+    planted = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", h.alias("ph"))
+    m1 = F.expr(
+        "shiftleft(1L, cast(doc_id % 60 as int)) | "
+        "shiftleft(1L, cast((doc_id * 7 + 11) % 60 as int)) | "
+        "shiftleft(1L, cast((doc_id * 13 + 29) % 60 as int))"
+    )
+    m2 = F.expr(
+        "shiftleft(1L, cast((doc_id + 17) % 60 as int)) | "
+        "shiftleft(1L, cast((doc_id * 11 + 5) % 60 as int))"
+    )
+    t1 = planted.select(
+        (F.col("doc_id") + 10000000).alias("image_id"),
+        F.col("ph").bitwiseXOR(m1).alias("phash"),
+    )
+    t2 = planted.select(
+        (F.col("doc_id") + 20000000).alias("image_id"),
+        F.col("ph").bitwiseXOR(m2).alias("phash"),
+    )
+    return base.unionByName(t1).unionByName(t2)
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs on the stored 64-bit perceptual hash
+    (datapipe/images.py phash_near_dups): EXACT hamming ≤ 3 via 4×16-bit
+    pigeonhole band blocking — the image-side twin of SimHash text dedup,
+    decode-free (only (id, phash) moves, never bytes)."""
+    from scrapy_spark.datapipe.images import phash_near_dups
+
+    return phash_near_dups(
+        _synthetic_phash_table(spark, sf_dir), max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+def q_image_phash_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup keep-one-per-cluster map: phash pairs → connected
+    components → (image_id, rep_id) (datapipe/images.py phash_dedup_reps).
+    The two planted twins of each base image form a 3-node cluster where
+    the twins may never share a band with EACH OTHER — transitive closure
+    is what groups them. Oracle: recursive CTE over the same pairs."""
+    from scrapy_spark.datapipe.images import phash_dedup_reps
+
+    return phash_dedup_reps(
+        _synthetic_phash_table(spark, sf_dir), max_hamming=3
+    ).orderBy("image_id")
+
+
 # =====================================================================
 # contract surface
 # =====================================================================
@@ -640,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "request_identity": q_request_identity,
         "crawl_frontier_pop": q_crawl_frontier_pop,
         "image_decode_meta": q_image_decode_meta,
+        "image_phash_neardup": q_image_phash_neardup,
+        "image_phash_cluster_reps": q_image_phash_cluster_reps,
     }
 
 
@@ -674,6 +737,53 @@ def _simhash_oracle_sql() -> str:
                 ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
             SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        """
+
+
+def _phash_pairs_oracle_sql() -> str:
+    """DuckDB replica of q_image_phash_neardup: same md5-derived 60-bit
+    base hashes (md5_number_upper >> 4 ≡ Spark's conv(md5hex[1:15],16,10)),
+    same planted-twin bit flips, same 4×16-bit pigeonhole band join +
+    popcount ≤ 3 filter."""
+    return """
+            WITH base AS (
+              SELECT doc_id AS image_id,
+                     CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 4
+                          AS BIGINT) AS phash
+              FROM documents),
+            planted AS (
+              SELECT doc_id,
+                     CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 4
+                          AS BIGINT) AS ph
+              FROM documents WHERE doc_id % 37 = 0),
+            t1 AS (
+              SELECT doc_id + 10000000 AS image_id,
+                     xor(ph, (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+                           | (CAST(1 AS BIGINT) << CAST((doc_id*7+11) % 60 AS INT))
+                           | (CAST(1 AS BIGINT) << CAST((doc_id*13+29) % 60 AS INT)))
+                       AS phash
+              FROM planted),
+            t2 AS (
+              SELECT doc_id + 20000000 AS image_id,
+                     xor(ph, (CAST(1 AS BIGINT) << CAST((doc_id+17) % 60 AS INT))
+                           | (CAST(1 AS BIGINT) << CAST((doc_id*11+5) % 60 AS INT)))
+                       AS phash
+              FROM planted),
+            allimg AS (
+              SELECT * FROM base UNION ALL SELECT * FROM t1
+              UNION ALL SELECT * FROM t2),
+            banded AS (
+              SELECT image_id, phash, bi AS band_id,
+                     (phash >> (16*bi)) & 65535 AS chunk
+              FROM allimg CROSS JOIN range(4) r(bi)),
+            cand AS (
+              SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+                              a.phash AS pa, b.phash AS pb
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.chunk = b.chunk
+               AND a.image_id < b.image_id)
+            SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(pa, pb)) <= 3
         """
 
 
@@ -1077,6 +1187,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
+        "image_phash_neardup": _phash_pairs_oracle_sql(),
+        "image_phash_cluster_reps": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_phash_pairs_oracle_sql()}) s
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, comp) AS (
+              SELECT id, id AS comp FROM nodes
+              UNION
+              SELECT e.a AS id, r.comp
+              FROM reach r JOIN edges e ON r.id = e.b
+            )
+            SELECT id AS image_id, CAST(min(comp) AS BIGINT) AS rep_id
+            FROM reach GROUP BY id
+        """,
         "dedup_cluster_reps": f"""
             WITH RECURSIVE pairs AS (
               SELECT id_a, id_b FROM ({_simhash_oracle_sql()}) s

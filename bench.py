@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "request_identity",
     "crawl_frontier_pop",
     "image_decode_meta",
+    "image_phash_neardup",
+    "image_phash_cluster_reps",
 ]
 
 

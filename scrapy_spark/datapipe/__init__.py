@@ -10,4 +10,4 @@ here is expressed Spark-first: built-in higher-order functions
 numpy vectorization only for the hash sketches that SQL cannot express.
 """
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import dedup, images, multimodal, similarity, text  # noqa: F401

@@ -381,6 +381,68 @@ def simhash64(
     return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
 
 
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Generic banded hamming self-join over a 64-bit hash column →
+    (id_a, id_b, hamming) with hamming ≤ ``max_hamming``. EXACT output
+    (pigeonhole blocking, not approximate): the 64 bits split into
+    64/band_bits bands; two hashes within hamming d < n_bands must agree
+    on ≥1 whole band, so the equi-join on (band_id, chunk) misses no
+    qualifying pair, and the popcount filter discards band-collision
+    false candidates.
+
+    Shared by SimHash text near-dup (``simhash_near_dups``) and pHash
+    image near-dup (``datapipe.images.phash_near_dups``). All stages are
+    JVM builtins (shift/mask/explode/join/bit_count) — no Python in the
+    hot path. At 10^10 rows the cost is the band shuffle; band width
+    trades blocking selectivity against the max_hamming bound
+    (band_bits=16 ⇒ 4 bands ⇒ max_hamming ≤ 3)."""
+    if 64 % band_bits:
+        raise ValueError("band_bits must divide 64")
+    n_bands = 64 // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming < n_bands "
+            f"({max_hamming} ≥ {n_bands}); use narrower bands"
+        )
+    mask = (1 << band_bits) - 1
+    # arithmetic shiftright sign-extends, but the & mask keeps only the
+    # band's own bits, so signed int64 hashes band correctly
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col(hash_col), band_bits * i)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col), F.col(hash_col), F.explode(chunks).alias("b")
+    ).select(id_col, hash_col, "b.band_id", "b.chunk")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band_id", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "band_id", "chunk"
+    )
+    return (
+        a.join(b, ["band_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -391,35 +453,8 @@ def simhash_near_dups(
     band blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bands equal),
     then exact popcount filter — both stages JVM builtins."""
     sh = simhash64(df, id_col, text_col)
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.shiftright(F.col("simhash"), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("chunk"),
-            )
-            for i in range(4)
-        ]
-    )
-    banded = sh.select(
-        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("b")
-    ).select(id_col, "simhash", "b.band_id", "b.chunk")
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_id", "chunk"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_id", "chunk"
-    )
-    return (
-        a.join(b, ["band_id", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return hamming_near_dup_pairs(
+        sh, id_col=id_col, hash_col="simhash", max_hamming=max_hamming
     )
 
 
@@ -431,4 +466,5 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash64",
     "simhash_near_dups",
+    "hamming_near_dup_pairs",
 ]

@@ -114,18 +114,39 @@ def phash64(arr: np.ndarray) -> int:
 
 def synth_image(image_id: str, min_px: int = 8, max_px: int = 64) -> np.ndarray:
     """Deterministic synthetic RGB image for ``image_id`` (FIXTURES §A.1):
-    a seeded-RNG gradient+noise patch, side length in [min_px, max_px]."""
-    seed = int.from_bytes(image_id.encode("utf-8"), "little") % (2**32)
+    a seeded-RNG coarse 8×8 color-block pattern + gradient + fine noise,
+    side length in [min_px, max_px].
+
+    The per-id coarse pattern matters: it makes ``phash64`` well-spread
+    across ids (a shared gradient alone pools to the SAME 8×8 means for
+    every image, collapsing all phashes to one value — useless for
+    near-dup work), while small pixel perturbations still move pooled
+    means only slightly, so jittered copies stay at low hamming distance.
+    That mirrors real crawled images: distinct content → distant phash,
+    re-encoded/resized copies → near phash."""
+    # seed from a digest of the WHOLE id: a plain int.from_bytes(...) %
+    # 2**32 keeps only the first four chars in little-endian, which made
+    # every img00000000NN share one seed — and therefore one image
+    import hashlib
+
+    seed = int.from_bytes(
+        hashlib.md5(image_id.encode("utf-8")).digest()[:4], "little"
+    )
     rng = np.random.default_rng(seed)
     side = int(rng.integers(min_px, max_px + 1))
+    # per-image random coarse structure (what phash pools over)
+    coarse = rng.integers(16, 208, size=(8, 8, 3)).astype(np.float64)
+    idx = (np.arange(side) * 8) // side
+    base = coarse[idx][:, idx]
+    # mild shared gradient for visual realism (sub-dominant to the blocks)
     yy, xx = np.mgrid[0:side, 0:side]
-    base = np.stack(
+    grad = np.stack(
         [
-            (xx * 255 / max(side - 1, 1)),
-            (yy * 255 / max(side - 1, 1)),
-            ((xx + yy) * 127 / max(side - 1, 1)),
+            xx * 32 / max(side - 1, 1),
+            yy * 32 / max(side - 1, 1),
+            (xx + yy) * 16 / max(side - 1, 1),
         ],
         axis=-1,
     )
-    noise = rng.integers(0, 32, size=(side, side, 3))
-    return np.clip(base + noise, 0, 255).astype(np.uint8)
+    noise = rng.integers(0, 16, size=(side, side, 3))
+    return np.clip(base + grad + noise, 0, 255).astype(np.uint8)

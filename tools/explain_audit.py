@@ -103,6 +103,15 @@ def main() -> int:
         # connected components: the per-round joins are key-equijoins; the
         # returned labels plan must carry no cross-product anywhere
         ("dedup_cluster_reps", [], list(BAD_EVERYWHERE)),
+        # pHash image near-dup: pure JVM band equijoin — NO Python stage
+        # at all (phash is a stored column), no cross-product, and the
+        # scan reads only doc_id (never the text column)
+        (
+            "image_phash_neardup",
+            ["ReadSchema"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "text:string"],
+        ),
+        ("image_phash_cluster_reps", [], list(BAD_EVERYWHERE) + ["ArrowEvalPython"]),
     ]
 
     sections, failures = [], []
