@@ -636,6 +636,20 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_image_phash_neardup_mih(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^10-row variant of image_phash_neardup: Manku-style
+    block-combination blocking (C(8,3)=56 keys × 40 bits — bucket size
+    n/2^40 instead of n/2^16, no quadratic pocket; see
+    dedup.hamming_near_dup_pairs_mih). EXACT like the band variant, so
+    it shares the SAME DuckDB oracle — the strongest possible check that
+    the two physical strategies agree."""
+    from scrapy_spark.datapipe.images import phash_near_dups
+
+    return phash_near_dups(
+        _synthetic_phash_table(spark, sf_dir), max_hamming=3, strategy="blocks"
+    ).orderBy("id_a", "id_b")
+
+
 def q_image_phash_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image dedup keep-one-per-cluster map: phash pairs → connected
     components → (image_id, rep_id) (datapipe/images.py phash_dedup_reps).
@@ -702,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_pop": q_crawl_frontier_pop,
         "image_decode_meta": q_image_decode_meta,
         "image_phash_neardup": q_image_phash_neardup,
+        "image_phash_neardup_mih": q_image_phash_neardup_mih,
         "image_phash_cluster_reps": q_image_phash_cluster_reps,
     }
 
@@ -1188,6 +1203,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "image_phash_neardup": _phash_pairs_oracle_sql(),
+        # mih is EXACT too — identical output contract, same oracle
+        "image_phash_neardup_mih": _phash_pairs_oracle_sql(),
         "image_phash_cluster_reps": f"""
             WITH RECURSIVE pairs AS (
               SELECT id_a, id_b FROM ({_phash_pairs_oracle_sql()}) s

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "crawl_frontier_pop",
     "image_decode_meta",
     "image_phash_neardup",
+    "image_phash_neardup_mih",
     "image_phash_cluster_reps",
 ]
 

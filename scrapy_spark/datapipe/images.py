@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import hamming_near_dup_pairs
+from .dedup import hamming_near_dup_pairs, hamming_near_dup_pairs_mih
 
 
 def phash_near_dups(
@@ -40,10 +40,24 @@ def phash_near_dups(
     phash_col: str = "phash",
     max_hamming: int = 3,
     band_bits: int = 16,
+    strategy: str = "bands",
 ) -> DataFrame:
     """→ (id_a, id_b, hamming) for every image pair whose stored phash
-    differs in ≤ ``max_hamming`` of 64 bits. EXACT under the pigeonhole
-    bound (max_hamming < 64/band_bits); decode-free."""
+    differs in ≤ ``max_hamming`` of 64 bits. EXACT either way; decode-free.
+
+    ``strategy``:
+
+    - ``"bands"``  — 64/band_bits single-band keys (4×16-bit default).
+      Right up to ~10^8 rows; beyond that every 16-bit bucket holds
+      n/2^16 rows and the within-bucket self-join goes quadratic.
+    - ``"blocks"`` — Manku-style block-combination keys
+      (dedup.hamming_near_dup_pairs_mih): C(8,3)=56 keys of 40 bits,
+      bucket size n/2^40 — the 10^10-row path, costing a wider explode.
+    """
+    if strategy == "blocks":
+        return hamming_near_dup_pairs_mih(
+            corpus, id_col=id_col, hash_col=phash_col, max_hamming=max_hamming
+        )
     return hamming_near_dup_pairs(
         corpus,
         id_col=id_col,

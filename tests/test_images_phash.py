@@ -40,6 +40,36 @@ def test_hamming_pairs_exact_on_handcrafted_hashes(spark):
     assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 3}
 
 
+def test_hamming_mih_equals_band_variant_on_random_hashes(spark):
+    """The Manku block-combination variant (the 10^10-row path) must
+    produce EXACTLY the band variant's output — both are exact pigeonhole
+    blocking. Random corpus + planted near pairs at every distance
+    0..max_hamming and just beyond."""
+    import random
+
+    from scrapy_spark.datapipe.dedup import hamming_near_dup_pairs_mih
+
+    rng = random.Random(42)
+    rows = [(i, rng.getrandbits(64) - (1 << 63)) for i in range(300)]
+    nid = 1000
+    for d in (0, 1, 2, 3, 4):  # 4 must NOT pair
+        base = rows[d][1]
+        flipped = base
+        for p in rng.sample(range(64), d):
+            flipped ^= 1 << p
+        # renormalize to signed int64
+        flipped = (flipped + (1 << 63)) % (1 << 64) - (1 << 63)
+        rows.append((nid + d, flipped))
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    kw = dict(id_col="image_id", hash_col="phash", max_hamming=3)
+    band = {(r.id_a, r.id_b, r.hamming) for r in hamming_near_dup_pairs(df, **kw).collect()}
+    mih = {(r.id_a, r.id_b, r.hamming) for r in hamming_near_dup_pairs_mih(df, **kw).collect()}
+    assert band == mih
+    for d in (0, 1, 2, 3):
+        assert (d, nid + d, d) in mih
+    assert not any(nid + 4 in (a, b) for a, b, _ in mih)
+
+
 def test_hamming_pairs_pigeonhole_guard(spark):
     import pytest
 

@@ -112,6 +112,12 @@ def main() -> int:
             list(BAD_EVERYWHERE) + ["ArrowEvalPython", "text:string"],
         ),
         ("image_phash_cluster_reps", [], list(BAD_EVERYWHERE) + ["ArrowEvalPython"]),
+        # the 10^10-row block-combination variant: same constraints
+        (
+            "image_phash_neardup_mih",
+            ["ReadSchema"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "text:string"],
+        ),
     ]
 
     sections, failures = [], []
