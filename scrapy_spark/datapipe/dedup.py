@@ -386,7 +386,7 @@ def hamming_near_dup_pairs(
     id_col: str = "doc_id",
     hash_col: str = "simhash",
     max_hamming: int = 3,
-    band_bits: int = 16,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """Generic banded hamming self-join over a 64-bit hash column →
     (id_a, id_b, hamming) with hamming ≤ ``max_hamming``. EXACT output
@@ -401,7 +401,13 @@ def hamming_near_dup_pairs(
     JVM builtins (shift/mask/explode/join/bit_count) — no Python in the
     hot path. At 10^10 rows the cost is the band shuffle; band width
     trades blocking selectivity against the max_hamming bound
-    (band_bits=16 ⇒ 4 bands ⇒ max_hamming ≤ 3)."""
+    (band_bits=16 ⇒ 4 bands ⇒ max_hamming ≤ 3). band_bits=None picks the
+    widest band that still satisfies the exactness bound for the given
+    max_hamming (16 for ≤3, 8 for ≤7, 4 for ≤15, …)."""
+    if band_bits is None:
+        band_bits = next(
+            w for w in (16, 8, 4, 2, 1) if 64 // w > max_hamming
+        )
     if 64 % band_bits:
         raise ValueError("band_bits must divide 64")
     n_bands = 64 // band_bits
@@ -519,9 +525,10 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming via 4×16-bit
-    band blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bands equal),
-    then exact popcount filter — both stages JVM builtins."""
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via pigeonhole
+    band blocking (band width auto-picked so that n_bands > max_hamming:
+    4×16-bit for ≤3, 16×4-bit for ≤15, …), then exact popcount filter —
+    both stages JVM builtins."""
     sh = simhash64(df, id_col, text_col)
     return hamming_near_dup_pairs(
         sh, id_col=id_col, hash_col="simhash", max_hamming=max_hamming

@@ -74,12 +74,19 @@ def test_hamming_pairs_pigeonhole_guard(spark):
     import pytest
 
     df = spark.createDataFrame([(1, 2)], "image_id long, phash long")
+    # explicit band width that violates the exactness bound must raise …
     with pytest.raises(ValueError, match="pigeonhole"):
-        hamming_near_dup_pairs(df, id_col="image_id", hash_col="phash", max_hamming=4)
+        hamming_near_dup_pairs(
+            df, id_col="image_id", hash_col="phash", max_hamming=4, band_bits=16
+        )
     with pytest.raises(ValueError, match="divide"):
         hamming_near_dup_pairs(
             df, id_col="image_id", hash_col="phash", max_hamming=3, band_bits=10
         )
+    # … but the default auto-picks a narrower band (8 bits ⇒ 8 bands)
+    assert hamming_near_dup_pairs(
+        df, id_col="image_id", hash_col="phash", max_hamming=4
+    ).count() == 0
 
 
 # ---------------------------------------------------------- real pixels
