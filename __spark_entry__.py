@@ -28,7 +28,21 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table loader with a small-input parallelism adapter: the sf
+    fixtures are single parquet files (one row group → ONE input
+    partition), which serializes every query's first stage on a wide
+    session — shingling alone measured 6× slower on the 1-task scan.
+    When the scan yields far fewer partitions than the session has
+    cores, fan out once with a round-robin repartition (tiny shuffle at
+    these sizes). At production scale inputs are many files/row groups,
+    the condition is false, and this is a metadata-only no-op — no
+    shuffle is ever added to a properly-partitioned source."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cores = spark.sparkContext.defaultParallelism
+    parts = df.rdd.getNumPartitions()
+    if parts * 4 <= cores:
+        df = df.repartition(cores)
+    return df
 
 
 def _order_priority(col):
@@ -650,6 +664,73 @@ def q_image_phash_neardup_mih(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _synthetic_corpus_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint-shaped METADATA table both engines can derive — the
+    phash table (_synthetic_phash_table) widened with deterministic
+    caption / w / h / bytes columns, every formula a pure function of
+    image_id so the DuckDB oracle replicates it verbatim:
+
+    - caption: base rows share 'cap <image_id % 211>' (≈n/211-sized
+      exact-dup groups); planted twins get a UNIQUE 'tw <id>' caption so
+      twin clusters form via phash edges only — exercising both edge
+      kinds of the joint dedup.
+    - w, h: 8 + image_id % 113 / 8 + (7·image_id + 3) % 113 — aspects
+      spread across every bucket.
+    - bytes: 'x' × (24 + (image_id % 50)·3) utf-8 — real binary with a
+      replicable octet length (aspect-bucket stats sum LENGTH(bytes))."""
+    iid = F.col("image_id")
+    caption = F.when(
+        iid < 10000000,
+        F.concat(F.lit("cap "), (iid % 211).cast("string")),
+    ).otherwise(F.concat(F.lit("tw "), iid.cast("string")))
+    return _synthetic_phash_table(spark, sf_dir).select(
+        "image_id",
+        "phash",
+        caption.alias("caption"),
+        (F.lit(8) + iid % 113).cast("int").alias("w"),
+        (F.lit(8) + (iid * 7 + 3) % 113).cast("int").alias("h"),
+        F.encode(
+            F.repeat(F.lit("x"), (F.lit(24) + (iid % 50) * 3).cast("int")),
+            "utf-8",
+        ).alias("bytes"),
+    )
+
+
+def q_image_caption_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-caption duplicate STAR edges (datapipe/images.py
+    caption_dup_pairs): normalized-caption groups emit (min-id hub →
+    member) pairs — linear in group size, never all-pairs, the caption
+    half of the joint image+text dedup graph."""
+    from scrapy_spark.datapipe.images import caption_dup_pairs
+
+    return caption_dup_pairs(_synthetic_corpus_meta(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_image_joint_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint image+text dedup (datapipe/images.py joint_dedup_reps):
+    phash-hamming edges ∪ exact-caption star edges, closed transitively
+    → (image_id, rep_id) keep/drop map. Oracle: recursive CTE over the
+    UNION of the inlined phash-pair SQL and the caption-star SQL."""
+    from scrapy_spark.datapipe.images import joint_dedup_reps
+
+    return joint_dedup_reps(_synthetic_corpus_meta(spark, sf_dir)).orderBy(
+        "image_id"
+    )
+
+
+def q_image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio training buckets (datapipe/images.py
+    aspect_bucket_stats): nearest-rung assignment in log space via
+    threshold CASE chain, then per-bucket count / mean aspect / payload
+    bytes — one metadata scan + one hash-agg, bytes contribute LENGTH
+    only. The same cut constants are inlined into the DuckDB oracle."""
+    from scrapy_spark.datapipe.images import aspect_bucket_stats
+
+    return aspect_bucket_stats(_synthetic_corpus_meta(spark, sf_dir))
+
+
 def q_image_phash_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image dedup keep-one-per-cluster map: phash pairs → connected
     components → (image_id, rep_id) (datapipe/images.py phash_dedup_reps).
@@ -718,6 +799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": q_image_phash_neardup,
         "image_phash_neardup_mih": q_image_phash_neardup_mih,
         "image_phash_cluster_reps": q_image_phash_cluster_reps,
+        "image_caption_dup_pairs": q_image_caption_dup_pairs,
+        "image_joint_dedup_reps": q_image_joint_dedup_reps,
+        "image_aspect_buckets": q_image_aspect_buckets,
     }
 
 
@@ -799,6 +883,92 @@ def _phash_pairs_oracle_sql() -> str:
                AND a.image_id < b.image_id)
             SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+        """
+
+
+def _corpus_meta_oracle_cte() -> str:
+    """DuckDB CTE replica of _synthetic_corpus_meta: the phash allimg
+    union widened with the same image_id-derived caption/w/h/bytes
+    formulas. Returns the CTE body (callers embed in WITH ... )."""
+    return """
+            base AS (
+              SELECT doc_id AS image_id,
+                     CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 4
+                          AS BIGINT) AS phash
+              FROM documents),
+            planted AS (
+              SELECT doc_id,
+                     CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 4
+                          AS BIGINT) AS ph
+              FROM documents WHERE doc_id % 37 = 0),
+            t1 AS (
+              SELECT doc_id + 10000000 AS image_id,
+                     xor(ph, (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+                           | (CAST(1 AS BIGINT) << CAST((doc_id*7+11) % 60 AS INT))
+                           | (CAST(1 AS BIGINT) << CAST((doc_id*13+29) % 60 AS INT)))
+                       AS phash
+              FROM planted),
+            t2 AS (
+              SELECT doc_id + 20000000 AS image_id,
+                     xor(ph, (CAST(1 AS BIGINT) << CAST((doc_id+17) % 60 AS INT))
+                           | (CAST(1 AS BIGINT) << CAST((doc_id*11+5) % 60 AS INT)))
+                       AS phash
+              FROM planted),
+            allimg AS (
+              SELECT * FROM base UNION ALL SELECT * FROM t1
+              UNION ALL SELECT * FROM t2),
+            meta AS (
+              SELECT image_id, phash,
+                     CASE WHEN image_id < 10000000
+                          THEN 'cap ' || CAST(image_id % 211 AS VARCHAR)
+                          ELSE 'tw ' || CAST(image_id AS VARCHAR) END
+                       AS caption,
+                     CAST(8 + image_id % 113 AS INT) AS w,
+                     CAST(8 + (image_id*7+3) % 113 AS INT) AS h,
+                     encode(repeat('x',
+                       CAST(24 + (image_id % 50) * 3 AS INT))) AS bytes
+              FROM allimg)
+        """
+
+
+def _caption_star_pairs_sql() -> str:
+    """DuckDB replica of caption_dup_pairs over the meta CTE: min-id
+    hub → member star edges for duplicated captions."""
+    return """
+            SELECT h.id_a, m.image_id AS id_b
+            FROM (SELECT caption, min(image_id) AS id_a
+                  FROM meta GROUP BY caption HAVING count(*) > 1) h
+            JOIN meta m ON m.caption = h.caption
+            WHERE m.image_id <> h.id_a
+        """
+
+
+def _aspect_buckets_oracle_sql() -> str:
+    """DuckDB replica of q_image_aspect_buckets: the SAME geometric-mean
+    cut constants, generated from datapipe.images.ASPECT_BUCKETS by the
+    identical math.sqrt calls — constants can never drift apart."""
+    import math
+
+    from scrapy_spark.datapipe.images import ASPECT_BUCKETS
+
+    expr = f"'{ASPECT_BUCKETS[-1][0]}'"
+    for (name, a), (_n, b) in zip(
+        reversed(ASPECT_BUCKETS[:-1]), reversed(ASPECT_BUCKETS[1:])
+    ):
+        cut = math.sqrt(a * b)
+        expr = (
+            f"CASE WHEN CAST(w AS DOUBLE)/CAST(h AS DOUBLE) < {cut!r} "
+            f"THEN '{name}' ELSE {expr} END"
+        )
+    return f"""
+            WITH {_corpus_meta_oracle_cte()}
+            SELECT {expr} AS bucket,
+                   count(*) AS n,
+                   round(avg(CAST(w AS DOUBLE)/CAST(h AS DOUBLE)), 4)
+                     AS avg_aspect,
+                   CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes
+            FROM meta
+            GROUP BY 1 ORDER BY 1
         """
 
 
@@ -1205,6 +1375,34 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_neardup": _phash_pairs_oracle_sql(),
         # mih is EXACT too — identical output contract, same oracle
         "image_phash_neardup_mih": _phash_pairs_oracle_sql(),
+        "image_caption_dup_pairs": f"""
+            WITH {_corpus_meta_oracle_cte()}
+            {_caption_star_pairs_sql()}
+        """,
+        "image_joint_dedup_reps": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_phash_pairs_oracle_sql()}) p
+              UNION
+              SELECT id_a, id_b
+              FROM (WITH {_corpus_meta_oracle_cte()}
+                    {_caption_star_pairs_sql()}) c
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, comp) AS (
+              SELECT id, id AS comp FROM nodes
+              UNION
+              SELECT e.a AS id, r.comp
+              FROM reach r JOIN edges e ON r.id = e.b
+            )
+            SELECT id AS image_id, CAST(min(comp) AS BIGINT) AS rep_id
+            FROM reach GROUP BY id
+        """,
+        "image_aspect_buckets": _aspect_buckets_oracle_sql(),
         "image_phash_cluster_reps": f"""
             WITH RECURSIVE pairs AS (
               SELECT id_a, id_b FROM ({_phash_pairs_oracle_sql()}) s

@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "image_phash_neardup",
     "image_phash_neardup_mih",
     "image_phash_cluster_reps",
+    "image_caption_dup_pairs",
+    "image_joint_dedup_reps",
+    "image_aspect_buckets",
 ]
 
 

@@ -124,7 +124,11 @@ def jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = shingles(df, id_col, text_col, n)
+    # materialize the posting table once: it feeds the decision scan,
+    # both sides of the candidate self-join, and the size/verify stage —
+    # one executor-disk write (same order of magnitude as any one of the
+    # shuffles below) replaces 2–3 recomputes of the regex+explode
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     freq = None
     if prefix_filter == "auto":
         # the frequency table IS the prefix pass's first stage — cache it
@@ -166,7 +170,39 @@ def jaccard_pairs(
         if freq.is_cached:
             freq.unpersist()
     else:
-        prefix = sh
+        # FULL-index path: the self-join enumerates EVERY shared shingle
+        # per pair, so `common` is a plain groupBy count — no distinct,
+        # no collect_set, no array_intersect, and doc sizes come from a
+        # tiny broadcast-able aggregate. Exact because shingles are
+        # array_distinct'd per doc.
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+        shared = (
+            sh.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        common = F.col("common")
+        return (
+            shared.join(
+                F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"))),
+                "id_a",
+            )
+            .join(
+                F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"))),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "common",
+                F.round(
+                    common / (F.col("n_a") + F.col("n_b") - common), 4
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
 
     cand = (
         prefix.select(F.col(id_col).alias("id_a"), "shingle")
@@ -359,6 +395,25 @@ def simhash64(
     def _simhash(texts: pd.Series) -> pd.Series:
         import re
 
+        # batch-level token→(±1)^64 memo: corpora are Zipf-distributed,
+        # so most md5 calls repeat across documents in the same Arrow
+        # batch — caching the signed bit vector cuts the dominant cost
+        # (hashing) by the batch's token reuse factor, bit-identically
+        cache: dict[str, np.ndarray] = {}
+
+        def signed_bits(tok: str) -> np.ndarray:
+            v = cache.get(tok)
+            if v is None:
+                raw = np.frombuffer(
+                    hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8
+                )
+                v = (
+                    np.unpackbits(raw, bitorder="little").astype(np.int64) * 2
+                    - 1
+                )
+                cache[tok] = v
+            return v
+
         out = []
         for txt in texts:
             toks = re.findall(TOKEN_RE, (txt or "").lower())
@@ -366,12 +421,10 @@ def simhash64(
                 out.append(0)
                 continue
             uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-            raw = np.frombuffer(
-                b"".join(hashlib.md5(t.encode()).digest()[:8] for t in uniq),
-                dtype=np.uint8,
-            ).reshape(len(uniq), 8)
-            bits = np.unpackbits(raw, axis=1, bitorder="little")  # (n, 64)
-            v = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
+            mat = np.empty((len(uniq), 64), dtype=np.int64)
+            for i, t in enumerate(uniq):
+                mat[i] = signed_bits(t)
+            v = (mat * counts[:, None]).sum(axis=0)
             val = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(
                 np.int64
             )[0]

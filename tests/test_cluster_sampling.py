@@ -59,14 +59,34 @@ def test_connected_components_chain_beyond_max_iter_diameter(spark):
 
 def test_connected_components_raises_instead_of_wrong_labels(spark):
     # exhausting max_iter with labels still moving must raise, never
-    # return unconverged (incorrect) components
+    # return unconverged (incorrect) components. The guard lives on the
+    # huge-graph label-propagation fallback (small graphs take the
+    # always-converging union-find paths), so exercise it directly.
     import pytest
 
-    pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
-    )
+    from scrapy_spark.datapipe.cluster import _label_propagation_cc
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a long, b long"
+    ).localCheckpoint(eager=True)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2)
+        _label_propagation_cc(edges, max_iter=2)
+
+
+def test_connected_components_shrink_then_finish_path(spark):
+    # force the distributed shrink pass (small_graph_edges=0 can't skip
+    # it) on a graph spanning partitions: contracted star edges must
+    # still close transitively to exact min-id components
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)] + [(500, 501), (501, 502)],
+        "id_a long, id_b long",
+    ).repartition(8)
+    out = connected_components(pairs, small_graph_edges=4).toPandas()
+    got = dict(zip(out.id, out.comp))
+    assert {got[i] for i in range(n + 1)} == {0}
+    assert got[500] == got[501] == got[502] == 500
+    assert len(out) == n + 1 + 3
 
 
 def test_sample_stratified_exact_quotas_and_determinism(spark):

@@ -203,3 +203,96 @@ def test_image_size_gate(spark):
     ids = {r.image_id for r in kept.select("image_id").collect()}
     assert "tiny" not in ids and "sliver" not in ids and "blob" in ids
     assert len(ids) == 41  # all 40 synth rows pass the gate
+
+
+# ------------------------------------------- caption + joint dedup ops
+def test_caption_dup_pairs_star_shape_and_normalization(spark):
+    from scrapy_spark.datapipe.images import caption_dup_pairs
+
+    rows = [
+        (1, "A   Red  Fox "),   # normalizes to "a red fox"
+        (5, "a red fox"),
+        (9, "A RED FOX"),
+        (2, "unique caption"),
+        (3, "other"),
+        (4, "other"),
+    ]
+    df = spark.createDataFrame(rows, "image_id long, caption string")
+    got = {(r.id_a, r.id_b) for r in caption_dup_pairs(df).collect()}
+    # star edges from the min id of each group — never member-member
+    assert got == {(1, 5), (1, 9), (3, 4)}
+
+
+def test_joint_dedup_reps_bridges_pixel_and_caption_edges(spark):
+    """A (base) ~ B (pixel twin, different caption) ~ C (caption twin of
+    B, unrelated pixels): only the UNION of both edge kinds closes the
+    three into one cluster."""
+    from scrapy_spark.datapipe.images import joint_dedup_reps
+
+    pa = 0x0123456789ABCDEF
+    rows = [
+        (10, pa, "a red fox"),
+        (20, pa ^ 0b11, "jumped over"),        # hamming 2 from A
+        (30, -(1 << 62) + 5, "jumped over"),   # far pixels, B's caption
+        (40, (1 << 60) | 7, "bystander"),      # unrelated entirely
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long, caption string")
+    reps = {r.image_id: r.rep_id for r in joint_dedup_reps(df).collect()}
+    assert reps == {10: 10, 20: 10, 30: 10}
+    assert 40 not in reps  # never entered any pair
+
+
+def test_aspect_bucket_stats_assignments(spark):
+    from scrapy_spark.datapipe.images import aspect_bucket_stats
+
+    rows = [
+        ("a", b"xx", 90, 160),    # 0.5625 → tall_9x16
+        ("b", b"xx", 30, 40),     # 0.75   → portrait_3x4
+        ("c", b"xxx", 50, 50),    # 1.0    → square_1x1
+        ("d", b"x", 40, 30),      # 1.333  → landscape_4x3
+        ("e", b"x", 160, 90),     # 1.778  → wide_16x9
+        ("f", b"x", 500, 100),    # 5.0    → clamps to widest rung
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int"
+    )
+    stats = aspect_bucket_stats(df).toPandas().set_index("bucket")
+    assert stats.loc["tall_9x16", "n"] == 1
+    assert stats.loc["portrait_3x4", "n"] == 1
+    assert stats.loc["square_1x1", "n"] == 1
+    assert stats.loc["landscape_4x3", "n"] == 1
+    assert stats.loc["wide_16x9", "n"] == 2  # e + clamped f
+    assert stats.loc["square_1x1", "total_bytes"] == 3
+
+
+def test_phash_near_dups_verified_on_real_pixels(spark):
+    """Two-tier dedup ground truth: jittered twins must verify with
+    PSNR ≥ 40 dB; a planted hash-collision pair (flat images, equal
+    phash, different shapes) must come back verified=False."""
+    from scrapy_spark.datapipe.images import phash_near_dups_verified
+
+    corpus = _corpus_with_twins(spark, n=20, twins_of=(7,))
+    flat_a = np.full((16, 16, 3), 128, dtype=np.uint8)
+    flat_b = np.full((24, 24, 3), 128, dtype=np.uint8)
+    collisions = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("zzflat-a", encode_image(flat_a, "rawrgb"), 16, 16,
+                 "rawrgb", "flat a", phash64(flat_a)),
+                ("zzflat-b", encode_image(flat_b, "rawrgb"), 24, 24,
+                 "rawrgb", "flat b", phash64(flat_b)),
+            ],
+            columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+        )
+    )
+    assert phash64(flat_a) == phash64(flat_b)  # genuine hash collision
+    out = phash_near_dups_verified(
+        corpus.unionByName(collisions), max_hamming=3
+    ).toPandas()
+    by_pair = out.set_index(["id_a", "id_b"])
+    iid = "img0000000007"
+    for twin in (f"twin1-{iid}", f"twin2-{iid}"):
+        row = by_pair.loc[(iid, twin)]
+        assert bool(row.verified) and row.psnr_db >= 40.0
+    flat = by_pair.loc[("zzflat-a", "zzflat-b")]
+    assert not bool(flat.verified) and pd.isna(flat.psnr_db)

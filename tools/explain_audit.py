@@ -118,6 +118,21 @@ def main() -> int:
             ["ReadSchema"],
             list(BAD_EVERYWHERE) + ["ArrowEvalPython", "text:string"],
         ),
+        # caption star edges: one hash-agg + one equijoin, no Python, and
+        # the scan never reads the text column (captions are synthesized
+        # from doc_id); joint dedup additionally must stay cross-free
+        (
+            "image_caption_dup_pairs",
+            ["HashAggregate"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "text:string"],
+        ),
+        ("image_joint_dedup_reps", [], list(BAD_EVERYWHERE)),
+        # aspect buckets: single scan + hash-agg, pure Column algebra
+        (
+            "image_aspect_buckets",
+            ["HashAggregate"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "text:string"],
+        ),
     ]
 
     sections, failures = [], []
