@@ -731,6 +731,58 @@ def q_image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aspect_bucket_stats(_synthetic_corpus_meta(spark, sf_dir))
 
 
+def q_image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical payload dedup (datapipe/images.py
+    exact_bytes_dedup_reps): md5 over the binary payload → min-id rep per
+    digest group. The cheapest dedup tier, run before any near-dup
+    blocking; the synthetic corpus's bytes formula is replicated in the
+    DuckDB oracle so the digest grouping is fully value-checked."""
+    from scrapy_spark.datapipe.images import exact_bytes_dedup_reps
+
+    return exact_bytes_dedup_reps(
+        _synthetic_corpus_meta(spark, sf_dir)
+    ).orderBy("image_id")
+
+
+def _alignment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pair_id, img_emb, txt_emb) from the embeddings fixture: row i's
+    vector is the image embedding, row i+1's the caption embedding — a
+    deterministic pairing both engines derive with one self-join, no
+    table-size knowledge needed (the last row simply has no partner)."""
+    e = _t(spark, sf_dir, "embeddings")
+    img = e.select(
+        F.col("vec_id").alias("pair_id"), F.col("embedding").alias("img_emb")
+    )
+    txt = e.select(
+        (F.col("vec_id") - 1).alias("pair_id"),
+        F.col("embedding").alias("txt_emb"),
+    )
+    return img.join(txt, "pair_id")
+
+
+def q_image_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-style alignment gate (datapipe/alignment.py
+    alignment_gate): per-pair image↔caption cosine (JVM zip_with +
+    aggregate fold, no Python) with kept = cos ≥ 0.28 (the public CLIP
+    ViT-B/32 curation threshold, LAION-5B) — the filter every web-scale
+    image-text corpus runs after dedup."""
+    from scrapy_spark.datapipe.alignment import alignment_gate
+
+    return alignment_gate(_alignment_pairs(spark, sf_dir), min_cos=0.28).orderBy(
+        "pair_id"
+    )
+
+
+def q_image_align_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-score distribution for threshold tuning
+    (datapipe/alignment.py alignment_histogram): 0.05-wide bins over the
+    same pairs — one scan + one tiny hash-agg; the curve you eyeball
+    before committing a corpus-wide min_cos."""
+    from scrapy_spark.datapipe.alignment import alignment_histogram
+
+    return alignment_histogram(_alignment_pairs(spark, sf_dir), bin_width=0.05)
+
+
 def q_image_phash_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image dedup keep-one-per-cluster map: phash pairs → connected
     components → (image_id, rep_id) (datapipe/images.py phash_dedup_reps).
@@ -802,6 +854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_dup_pairs": q_image_caption_dup_pairs,
         "image_joint_dedup_reps": q_image_joint_dedup_reps,
         "image_aspect_buckets": q_image_aspect_buckets,
+        "image_exact_dedup": q_image_exact_dedup,
+        "image_text_alignment": q_image_text_alignment,
+        "image_align_histogram": q_image_align_histogram,
     }
 
 
@@ -1403,6 +1458,51 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY id
         """,
         "image_aspect_buckets": _aspect_buckets_oracle_sql(),
+        "image_exact_dedup": f"""
+            WITH {_corpus_meta_oracle_cte()},
+            h AS (
+              SELECT image_id,
+                     md5(repeat('x', CAST(24 + (image_id % 50) * 3 AS INT)))
+                       AS content_md5
+              FROM meta)
+            SELECT h.image_id, r.rep_id, h.content_md5
+            FROM h JOIN (SELECT content_md5, min(image_id) AS rep_id
+                         FROM h GROUP BY content_md5) r
+              USING (content_md5)
+        """,
+        "image_text_alignment": """
+            WITH p AS (
+              SELECT q.vec_id AS pair_id,
+                     q.embedding::DOUBLE[] AS vi, c.embedding::DOUBLE[] AS vt
+              FROM embeddings q JOIN embeddings c ON c.vec_id = q.vec_id + 1),
+            s AS (
+              SELECT pair_id,
+                     CASE WHEN sqrt(list_dot_product(vi, vi)) > 0
+                           AND sqrt(list_dot_product(vt, vt)) > 0
+                          THEN round(list_dot_product(vi, vt) /
+                                (sqrt(list_dot_product(vi, vi)) *
+                                 sqrt(list_dot_product(vt, vt))), 4)
+                     END AS align_cos
+              FROM p)
+            SELECT pair_id, align_cos,
+                   coalesce(align_cos >= 0.28, false) AS kept
+            FROM s
+        """,
+        "image_align_histogram": """
+            WITH p AS (
+              SELECT q.vec_id AS pair_id,
+                     q.embedding::DOUBLE[] AS vi, c.embedding::DOUBLE[] AS vt
+              FROM embeddings q JOIN embeddings c ON c.vec_id = q.vec_id + 1),
+            s AS (
+              SELECT round(list_dot_product(vi, vt) /
+                       (sqrt(list_dot_product(vi, vi)) *
+                        sqrt(list_dot_product(vt, vt))), 4) AS align_cos
+              FROM p)
+            SELECT round(floor(align_cos / 0.05) * 0.05, 4) AS bin_lo,
+                   count(*) AS n
+            FROM s WHERE align_cos IS NOT NULL
+            GROUP BY 1
+        """,
         "image_phash_cluster_reps": f"""
             WITH RECURSIVE pairs AS (
               SELECT id_a, id_b FROM ({_phash_pairs_oracle_sql()}) s

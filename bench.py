@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "image_caption_dup_pairs",
     "image_joint_dedup_reps",
     "image_aspect_buckets",
+    "image_exact_dedup",
+    "image_text_alignment",
+    "image_align_histogram",
 ]
 
 

@@ -57,6 +57,11 @@ class CrawlConfig:
     # [@attr='v'] / contains() subset (functions/linkextract.py).
     restrict_css: tuple = ()
     restrict_xpaths: tuple = ()
+    # Treat <img src> as extractable links (upstream LinkExtractor
+    # tags=['img'], attrs=['src']) — the image+caption harvest mode: the
+    # img's alt text (or the enclosing anchor's text) rides the request
+    # as meta['caption'] and persists with the fetched payload.
+    extract_img_links: bool = False
 
     # --- sitemaps (S5; ref: spiders/sitemap.py::SitemapSpider ≈L15) ---
     # Engine-level SitemapSpider analog on the http backend: XML sitemap

@@ -323,9 +323,32 @@ def phash_near_dups_verified(
     return joined.mapInPandas(_verify, schema=out_schema)
 
 
+def exact_bytes_dedup_reps(
+    corpus: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Byte-identical payload dedup — the first, cheapest tier of every
+    image-corpus dedup ladder (mirrors the crawl's FilesPipeline checksum
+    dedupe, but corpus-wide): → (image_id, rep_id, content_md5) where
+    rep_id is the group's minimum id; keepers satisfy image_id == rep_id.
+
+    One JVM md5 scan + one hash-agg + one equi-join on the digest —
+    uniform 128-bit keys, so the shuffle cannot skew regardless of how
+    lopsided the duplicate groups are (a 10^6-copy hotlinked logo is one
+    agg row). Runs BEFORE phash/caption tiers so near-dup blocking never
+    pays for bit-identical copies."""
+    h = corpus.select(
+        F.col(id_col), F.md5(F.col(bytes_col)).alias("content_md5")
+    )
+    reps = h.groupBy("content_md5").agg(F.min(id_col).alias("rep_id"))
+    return h.join(reps, "content_md5").select(id_col, "rep_id", "content_md5")
+
+
 __all__ = [
     "phash_near_dups",
     "phash_dedup_reps",
+    "exact_bytes_dedup_reps",
     "caption_dup_pairs",
     "joint_dedup_reps",
     "aspect_bucket_stats",

@@ -148,17 +148,34 @@ class _LinkParser(HTMLParser):
         strip_nofollow: bool,
         restrict_css: tuple[str, ...] = (),
         restrict_xpaths: tuple[str, ...] = (),
+        extract_imgs: bool = False,
     ):
         super().__init__(convert_charrefs=True)
         self.strip_nofollow = strip_nofollow
         self.restrict_css = restrict_css
         self._xpaths = [_compile_xpath(x) for x in restrict_xpaths]
         self._restricting = bool(restrict_css or restrict_xpaths)
+        self.extract_imgs = extract_imgs
         self.base: str | None = None
         self.hrefs: list[str] = []
+        # caption per href, aligned with self.hrefs: the link's img alt
+        # text when present, else the anchor's visible text (the LAION
+        # alt-text-harvest rule); None when both are empty
+        self.caps: list[str | None] = []
+        # open <a>: (caps index, text parts, img alt seen inside)
+        self._open_a: tuple[int, list[str], list[str]] | None = None
         self._restrict_depth = 0  # open elements matching any selector
         self._stack: list[bool] = []  # per open element: matched?
         self._path: list[tuple[str, dict]] = []  # open (tag, attrs) chain
+
+    def _finalize_anchor(self) -> None:
+        if self._open_a is None:
+            return
+        idx, parts, alts = self._open_a
+        self._open_a = None
+        text = " ".join("".join(parts).split())
+        alt = " ".join(alts[0].split()) if alts else ""
+        self.caps[idx] = alt or text or None
 
     def _in_restricted(self) -> bool:
         return not self._restricting or self._restrict_depth > 0
@@ -177,6 +194,9 @@ class _LinkParser(HTMLParser):
             if d.get("href"):
                 self.base = d["href"]
         elif tag in ("a", "area"):
+            # a new anchor implicitly closes a still-open one (real-world
+            # HTML omits </a> constantly; browsers do the same)
+            self._finalize_anchor()
             if not self._in_restricted():
                 return
             href = d.get("href")
@@ -185,12 +205,81 @@ class _LinkParser(HTMLParser):
             if self.strip_nofollow and "nofollow" in (d.get("rel") or "").lower():
                 return
             self.hrefs.append(href)
+            if tag == "a":
+                self.caps.append(None)
+                self._open_a = (len(self.caps) - 1, [], [])
+            else:  # <area> has no text content; alt is its caption
+                a = " ".join((d.get("alt") or "").split())
+                self.caps.append(a or None)
+        elif tag == "img":
+            # an <img alt> inside the open anchor captions that link
+            if self._open_a is not None and d.get("alt"):
+                self._open_a[2].append(d["alt"])
+            if self.extract_imgs and d.get("src"):
+                # <img src> as a first-class link (upstream LinkExtractor
+                # tags=['img'], attrs=['src']); caption = alt text — the
+                # image+caption harvest rule
+                if not self._in_restricted():
+                    return
+                self.hrefs.append(d["src"])
+                a = " ".join((d.get("alt") or "").split())
+                self.caps.append(a or None)
+
+    def handle_data(self, data):
+        if self._open_a is not None and data:
+            self._open_a[1].append(data)
 
     def handle_endtag(self, tag):
+        if tag == "a":
+            self._finalize_anchor()
         if self._restricting and tag not in _VOID_TAGS and self._stack:
             if self._stack.pop():
                 self._restrict_depth -= 1
             self._path.pop()
+
+    def close(self):
+        super().close()
+        self._finalize_anchor()
+
+
+def extract_link_entries_from_html(
+    html: str,
+    page_url: str,
+    strip_nofollow: bool = True,
+    restrict_css: tuple[str, ...] = (),
+    restrict_xpaths: tuple[str, ...] = (),
+    extract_imgs: bool = False,
+) -> list[tuple[str, str | None]]:
+    """→ (absolute http(s) URL, caption) pairs, unique by URL in document
+    order (first caption wins, like the first Request wins upstream).
+    Caption = the link's img alt text when present, else the anchor's
+    visible text (the LAION-style alt-text harvest rule); None when
+    empty. ``extract_imgs`` additionally treats ``<img src>`` as links
+    (upstream LinkExtractor tags=['img'], attrs=['src'])."""
+    if not html:
+        return []
+    parser = _LinkParser(
+        strip_nofollow, restrict_css, restrict_xpaths, extract_imgs
+    )
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass  # truncated/malformed HTML: keep what was parsed so far
+    base = urljoin(page_url or "", parser.base) if parser.base else (page_url or "")
+    seen: set[str] = set()
+    out: list[tuple[str, str | None]] = []
+    for href, cap in zip(parser.hrefs, parser.caps):
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        absu = urljoin(base, href)
+        if not absu.startswith(("http://", "https://")):
+            continue
+        if absu not in seen:
+            seen.add(absu)
+            out.append((absu, cap))
+    return out
 
 
 def extract_links_from_html(
@@ -201,28 +290,12 @@ def extract_links_from_html(
     restrict_xpaths: tuple[str, ...] = (),
 ) -> list[str]:
     """→ resolved absolute http(s) URLs, unique, in document order."""
-    if not html:
-        return []
-    parser = _LinkParser(strip_nofollow, restrict_css, restrict_xpaths)
-    try:
-        parser.feed(html)
-        parser.close()
-    except Exception:
-        pass  # truncated/malformed HTML: keep what was parsed so far
-    base = urljoin(page_url or "", parser.base) if parser.base else (page_url or "")
-    seen: set[str] = set()
-    out: list[str] = []
-    for href in parser.hrefs:
-        href = href.strip()
-        if not href or href.startswith("#"):
-            continue
-        absu = urljoin(base, href)
-        if not absu.startswith(("http://", "https://")):
-            continue
-        if absu not in seen:
-            seen.add(absu)
-            out.append(absu)
-    return out
+    return [
+        u
+        for u, _cap in extract_link_entries_from_html(
+            html, page_url, strip_nofollow, restrict_css, restrict_xpaths
+        )
+    ]
 
 
 _SITEMAP_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
@@ -324,20 +397,64 @@ def robots_sitemap_urls_udf(rules: pd.Series) -> pd.Series:
     return pd.Series([sitemap_urls_from_robots(r) for r in rules])
 
 
+_LINK_ENTRY_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("caption", T.StringType()),
+        ]
+    )
+)
+
+
+def make_extract_link_entries_udf(
+    strip_nofollow: bool = True,
+    restrict_css: tuple[str, ...] = (),
+    restrict_xpaths: tuple[str, ...] = (),
+    extract_imgs: bool = False,
+):
+    """(url, caption)-struct variant of ``make_extract_links_udf`` —
+    carries the link's alt/anchor text so image requests remember the
+    caption of the page that discovered them (the image+caption pair the
+    corpus persists). XPaths compile once on the driver (fail fast)."""
+    for x in restrict_xpaths:
+        _compile_xpath(x)
+    css, xp = tuple(restrict_css), tuple(restrict_xpaths)
+
+    @pandas_udf(_LINK_ENTRY_TYPE)
+    def _udf(html: pd.Series, page_url: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                extract_link_entries_from_html(
+                    h, u, strip_nofollow, css, xp, extract_imgs
+                )
+                for h, u in zip(html, page_url)
+            ]
+        )
+
+    return _udf
+
+
 def explode_page_links(
     pages: DataFrame,
     html_col: str = "html",
     url_col: str = "url_canon",
     restrict_css: tuple[str, ...] = (),
     restrict_xpaths: tuple[str, ...] = (),
+    extract_imgs: bool = False,
 ) -> DataFrame:
-    """pages(html, url_canon, …) → one row per extracted link (``dst_url``)
-    — the C13 surface that substitutes for the fixture-graph join when the
-    crawl payload is real HTML."""
-    if restrict_css or restrict_xpaths:
-        udf = make_extract_links_udf(True, restrict_css, restrict_xpaths)
-    else:
-        udf = extract_links_udf
-    return pages.withColumn(
-        "dst_url", F.explode(udf(F.col(html_col), F.col(url_col)))
-    ).drop(html_col)
+    """pages(html, url_canon, …) → one row per extracted link (``dst_url``
+    + its ``link_caption`` alt/anchor text, null when empty) — the C13
+    surface that substitutes for the fixture-graph join when the crawl
+    payload is real HTML."""
+    udf = make_extract_link_entries_udf(
+        True, restrict_css, restrict_xpaths, extract_imgs
+    )
+    return (
+        pages.withColumn(
+            "__l", F.explode(udf(F.col(html_col), F.col(url_col)))
+        )
+        .withColumn("dst_url", F.col("__l.url"))
+        .withColumn("link_caption", F.col("__l.caption"))
+        .drop(html_col, "__l")
+    )

@@ -398,14 +398,26 @@ def payload_items(done_images: DataFrame, epoch: int) -> DataFrame:
     (w, h, fmt, phash); undecodable payloads are dropped, as the
     reference's ImagesPipeline drops corrupt downloads."""
     from ..functions.imaging import decode_image, phash64
+    from ..functions.meta import meta_get
     from ..plans import schemas
 
-    cols = ["image_id", "body", "fp"]
+    # caption = the discovering page's alt/anchor text, carried through
+    # the frontier as meta['caption'] (input_hint: image + caption pairs)
+    cap = (
+        meta_get(F.col("meta_json"), "caption")
+        if "meta_json" in done_images.columns
+        else F.lit(None).cast("string")
+    )
+    src = done_images.withColumn("__caption", cap).select(
+        "image_id", "body", "fp", "__caption"
+    )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for iid, body, fp in zip(pdf.image_id, pdf.body, pdf.fp):
+            for iid, body, fp, cp in zip(
+                pdf.image_id, pdf.body, pdf.fp, pdf["__caption"]
+            ):
                 try:
                     arr, fmt = decode_image(bytes(body))
                 except (ValueError, NotImplementedError):
@@ -417,7 +429,7 @@ def payload_items(done_images: DataFrame, epoch: int) -> DataFrame:
                         int(arr.shape[1]),
                         int(arr.shape[0]),
                         fmt,
-                        None,
+                        cp if isinstance(cp, str) else None,
                         phash64(arr),
                         bytes(fp),
                         epoch,
@@ -427,7 +439,7 @@ def payload_items(done_images: DataFrame, epoch: int) -> DataFrame:
                 rows, columns=[f.name for f in schemas.ITEMS.fields]
             )
 
-    return done_images.select(*cols).mapInPandas(_decode, schema=schemas.ITEMS)
+    return src.mapInPandas(_decode, schema=schemas.ITEMS)
 
 
 __all__ = [

@@ -553,6 +553,7 @@ class CrawlEngine:
                 "url_canon",
                 restrict_css=tuple(cfg.restrict_css),
                 restrict_xpaths=tuple(cfg.restrict_xpaths),
+                extract_imgs=cfg.extract_img_links,
             )
             ldepth = F.col("parent_depth") + 1
             links_raw = exploded.select(
@@ -562,6 +563,9 @@ class CrawlEngine:
                 "parent_seq",
                 "parent_fp",
                 "parent_url",
+                # the discovering page's alt/anchor text: rides into the
+                # request's meta and becomes the fetched image's caption
+                "link_caption",
             )
         else:
             links_raw = extract_links(done, self.graph, cfg)
@@ -605,6 +609,7 @@ class CrawlEngine:
                     "parent_seq",
                     "parent_fp",
                     "parent_url",
+                    F.lit(None).cast("string").alias("link_caption"),
                 )
             )
             sitemap_src = sm_xml.select(
@@ -664,7 +669,22 @@ class CrawlEngine:
             .withColumn("retries", F.lit(0))
             .withColumn("redirects", F.lit(0))
             .withColumn("dont_filter", F.lit(False))
-            .withColumn("meta_json", F.lit(None).cast("string"))  # fresh meta
+            # fresh meta — except the discovering page's alt/anchor text,
+            # which rides as meta['caption'] so the fetched image persists
+            # as an (image, caption) pair (to_json escapes arbitrary text)
+            .transform(
+                lambda d: d.withColumn(
+                    "meta_json",
+                    F.when(
+                        F.col("link_caption").isNotNull(),
+                        F.to_json(
+                            F.struct(F.col("link_caption").alias("caption"))
+                        ),
+                    ),
+                ).drop("link_caption")
+                if "link_caption" in d.columns
+                else d.withColumn("meta_json", F.lit(None).cast("string"))
+            )
         )
         # redirect children (J7, ref redirect.py ≈L70): skip the 8b spider-
         # middleware filters, inherit dont_filter, depth unchanged
@@ -866,7 +886,7 @@ class CrawlEngine:
             "image_id",
             "status",
             F.lit(None).cast("binary").alias("bytes"),
-            F.lit(None).cast("string").alias("caption"),
+            meta_get(F.col("meta_json"), "caption").alias("caption"),
             "fetched_at",
             "latency_ms",
             F.lit(e).alias("epoch"),

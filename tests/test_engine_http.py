@@ -290,3 +290,116 @@ def test_engine_http_dataloss_semantics(spark, site, fail_on_dataloss):
     else:
         assert agg.get("retry/count", 0) == 0
         assert agg.get("item_scraped_count", 0) == 1  # partial body passed
+
+
+# ------------------------------------------------ image+caption harvest
+N_IMGS = 6
+
+
+class _CaptionSite(http.server.BaseHTTPRequestHandler):
+    """Pages embed LOSSY images via <img src alt>: the harvest mode the
+    input_hint contracts — alt text becomes the persisted caption, the
+    decoded payload must clear PSNR ≥ 40 dB vs the pristine source."""
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        if self.path.startswith("/p/"):
+            i = int(self.path.rsplit("/", 1)[1])
+            nxt = f'<a href="/p/{i + 1}">next</a>' if i + 1 < N_IMGS else ""
+            body = (
+                f"<html><body>{nxt}"
+                f'<img src="/img/{i}" alt="  caption   {i} &amp; co ">'
+                "</body></html>"
+            ).encode()
+            ctype = "text/html; charset=utf-8"
+        elif self.path.startswith("/img/"):
+            i = int(self.path.rsplit("/", 1)[1])
+            body = encode_image(synth_image(f"cap{i}"), "qrgb")  # lossy
+            ctype = "application/octet-stream"
+        else:
+            self.send_response(404)
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def test_engine_harvests_image_caption_pairs_lossy_psnr(spark):
+    import math
+
+    import pandas as pd
+
+    from scrapy_spark.operators.images import validate_payload
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _CaptionSite)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    site = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(
+            fetch_backend="http",
+            robotstxt_obey=False,
+            extract_img_links=True,
+            epoch_budget=64,
+            max_epochs=20,
+            depth_limit=2 * N_IMGS,
+            depth_priority=1,
+            queue_order="fifo",
+            download_timeout_s=10.0,
+        )
+        store = MemoryStore(spark)
+        eng = CrawlEngine(
+            spark, cfg, store,
+            url_map=spark.createDataFrame([], "url_canon string, image_id string"),
+            graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+            robots=spark.createDataFrame([], "domain string, rules string"),
+        )
+        eng.bootstrap(
+            pd.DataFrame({"url": [f"{site}/p/0"], "priority": [0]}),
+            pd.DataFrame(
+                {"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}
+            ),
+        )
+        eng.run()
+    finally:
+        srv.shutdown()
+
+    items = store.read("items").toPandas()
+    assert len(items) == N_IMGS
+    # captions: alt text, whitespace-collapsed, entity-decoded
+    got_caps = {
+        int(r.image_id.rsplit("/", 1)[1]): r.caption
+        for r in items.itertuples()
+    }
+    assert got_caps == {i: f"caption {i} & co" for i in range(N_IMGS)}
+
+    # per-row invariant vs the pristine reference: lossy payloads decode
+    # to PSNR ≥ 40 dB, captions match exactly (input_hint contract)
+    ref = spark.createDataFrame(
+        [
+            (
+                f"{site}/img/{i}",
+                bytearray(encode_image(synth_image(f"cap{i}"), "rawrgb")),
+                "qrgb",
+                f"caption {i} & co",
+            )
+            for i in range(N_IMGS)
+        ],
+        "image_id string, bytes binary, fmt string, caption string",
+    )
+    verdict = validate_payload(
+        store.read("items"), ref, psnr_floor_db=40.0
+    ).toPandas()
+    assert len(verdict) == N_IMGS
+    assert verdict.payload_ok.all()
+    assert verdict.caption_ok.all()
+    # the lossy codec is actually lossy: PSNR finite (not bit-exact inf)
+    assert all(
+        p is not None and not math.isinf(p) and p >= 40.0
+        for p in verdict.psnr_db
+    )
+    assert not verdict.bit_exact.any()

@@ -235,3 +235,88 @@ def test_engine_restrict_xpaths_e2e(spark):
     finally:
         srv.shutdown()
     assert "/keep" in hits and "/skip" not in hits
+
+
+# ---------------------------------------------------- captions (C13 × J8)
+def test_link_entries_anchor_text_and_alt():
+    from scrapy_spark.functions.linkextract import (
+        extract_link_entries_from_html,
+    )
+
+    html = (
+        "<html><body>"
+        '<a href="/a">  click \n here  </a>'
+        '<a href="/b"><img src="/t.png" alt="a brown fox"> ignored text</a>'
+        '<a href="/c"></a>'
+        '<map><area href="/d" alt="area caption"></map>'
+        '<a href="/e" rel="nofollow">never</a>'
+        "</body></html>"
+    )
+    got = extract_link_entries_from_html(html, "http://x/")
+    assert got == [
+        ("http://x/a", "click here"),  # whitespace collapsed
+        ("http://x/b", "a brown fox"),  # img alt beats anchor text
+        ("http://x/c", None),  # empty → None
+        ("http://x/d", "area caption"),
+        # nofollow dropped entirely
+    ]
+
+
+def test_link_entries_img_src_mode_and_first_caption_wins():
+    from scrapy_spark.functions.linkextract import (
+        extract_link_entries_from_html,
+    )
+
+    html = (
+        '<img src="/i1.png" alt="standalone alt">'
+        '<img src="/i2.png">'
+        '<a href="/p">first words</a>'
+        '<a href="/p">second words</a>'  # dup URL: first caption wins
+    )
+    # default: <img> is not a link source
+    assert [u for u, _ in extract_link_entries_from_html(html, "http://x/")] == [
+        "http://x/p"
+    ]
+    got = extract_link_entries_from_html(html, "http://x/", extract_imgs=True)
+    assert got == [
+        ("http://x/i1.png", "standalone alt"),
+        ("http://x/i2.png", None),
+        ("http://x/p", "first words"),
+    ]
+
+
+def test_link_entries_unclosed_anchor_and_imgs_inside_anchor():
+    from scrapy_spark.functions.linkextract import (
+        extract_link_entries_from_html,
+    )
+
+    # missing </a>: the next anchor implicitly closes it (browser rule)
+    html = '<a href="/a">alpha <a href="/b">beta</a>'
+    got = extract_link_entries_from_html(html, "http://x/")
+    assert got == [("http://x/a", "alpha"), ("http://x/b", "beta")]
+    # extract_imgs: the wrapped img is BOTH the anchor's caption and a link
+    html2 = '<a href="/page"><img src="/pic.png" alt="wrapped"></a>'
+    got2 = extract_link_entries_from_html(
+        html2, "http://x/", extract_imgs=True
+    )
+    assert got2 == [("http://x/page", "wrapped"), ("http://x/pic.png", "wrapped")]
+
+
+def test_explode_page_links_caption_column(spark):
+    from scrapy_spark.functions.linkextract import explode_page_links
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://x/p",
+                '<a href="/u"><img src="/u.png" alt="the alt"></a>'
+                '<a href="/v">plain</a>',
+            )
+        ],
+        "url_canon string, html string",
+    )
+    rows = {
+        r.dst_url: r.link_caption
+        for r in explode_page_links(pages).collect()
+    }
+    assert rows == {"http://x/u": "the alt", "http://x/v": "plain"}

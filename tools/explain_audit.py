@@ -127,6 +127,24 @@ def main() -> int:
             list(BAD_EVERYWHERE) + ["ArrowEvalPython", "text:string"],
         ),
         ("image_joint_dedup_reps", [], list(BAD_EVERYWHERE)),
+        # exact byte dedup: md5 scan + hash-agg + digest equi-join, no Python
+        (
+            "image_exact_dedup",
+            ["HashAggregate"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython"],
+        ),
+        # alignment gate/histogram: JVM zip_with+aggregate fold — the whole
+        # cosine must stay codegen-side, zero Python evals
+        (
+            "image_text_alignment",
+            [],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
+        ),
+        (
+            "image_align_histogram",
+            ["HashAggregate"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
+        ),
         # aspect buckets: single scan + hash-agg, pure Column algebra
         (
             "image_aspect_buckets",
