@@ -8,8 +8,11 @@ equivalent for everything SQL-expressible — including the MinHash /
 SimHash / winnowing sketches (DuckDB's md5_number_upper reproduces the
 package's md5-derived 64-bit hashes bit-for-bit) and the SRP-LSH ANN
 (hyperplane constants inlined, the whole bucket pipeline replayed in
-SQL). Only image_decode_meta (decode verified against synthesis ground
-truth in tests/test_datapipe.py) is rows-only.
+SQL) and image_decode_meta (per-row payload-parity verdict whose
+id/fmt/caption columns are pure doc_id formulas and whose flags an
+intact corpus pins TRUE — decode is additionally verified against
+synthesis ground truth in tests/test_datapipe.py). Every query is
+value-oracled.
 
 Column aliases match 1:1 between Spark and SQL (the driver sorts columns
 by name before value-hashing). All float aggregates are rounded so both
@@ -591,15 +594,26 @@ def q_crawl_frontier_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C12/S10 multimodal plumbing: deterministic synthetic corpus in the
-    input_hint shape (image_id, bytes, …) → mapInPandas decode → typed
-    metadata + min-size gate (ref: pipelines/images.py ≈L60,L130)."""
-    from scrapy_spark.datapipe.multimodal import decode_image_meta, min_size_filter
+    """C12/S10/J8 multimodal decode + per-row payload parity: synthetic
+    corpus in the input_hint shape → mapInPandas decode → verdict flags
+    vs re-synthesized ground truth (dims vs stored metadata, stored
+    phash vs reference pixels, lossless bit-exact / lossy PSNR ≥ 40 dB,
+    caption passthrough) — the north_rule per-row invariant as a
+    contract query (ref: pipelines/images.py ≈L60,L130).
+
+    Fully DuckDB-oracled: image_id / fmt / caption are pure formulas of
+    doc_id, and every flag is TRUE for an intact corpus — a decode that
+    returns wrong dims, wrong pixels, or the wrong container format
+    flips a flag and fails the value hash. The deterministic id subset
+    is doc_id < 200 (not LIMIT, which is order-undefined)."""
+    from scrapy_spark.datapipe.multimodal import payload_parity_meta
     from scrapy_spark.sources.corpus import synth_corpus_df
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(200)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
     corpus = synth_corpus_df(docs, id_col="doc_id")
-    return min_size_filter(decode_image_meta(corpus), min_w=8, min_h=8)
+    return payload_parity_meta(corpus, psnr_floor_db=40.0).orderBy("image_id")
 
 
 def _synthetic_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,7 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_token_count": q_text_token_count,
         # sketches / UDF identity (oracled via md5_number_upper replicas
-        # and inlined SRP hyperplanes; only image_decode_meta is rows-only)
+        # and inlined SRP hyperplanes; image_decode_meta via the
+        # payload-parity verdict shape — every query is value-oracled)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cluster_reps": q_dedup_cluster_reps,
@@ -1456,6 +1471,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS image_id, CAST(min(comp) AS BIGINT) AS rep_id
             FROM reach GROUP BY id
+        """,
+        # payload-parity verdict: image_id/fmt/caption are pure doc_id
+        # formulas (sources/corpus.py synth_corpus_df), and an intact
+        # corpus pins every verdict flag TRUE — any wrong decode (dims,
+        # pixels, container magic, phash lineage) flips a flag and fails
+        # the value hash. Word list = corpus._WORDS, 1-based list_extract.
+        "image_decode_meta": """
+            SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS image_id,
+                   CASE WHEN doc_id % 5 < 3 THEN 'rawrgb' ELSE 'qrgb' END AS fmt,
+                   'caption for img' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
+                     || ': ' || list_extract(
+                          ['ant','bee','cat','dog','elk','fox','gnu','hen',
+                           'ibex','jay'], CAST(doc_id % 10 AS INT) + 1)
+                     AS caption,
+                   TRUE AS decode_ok, TRUE AS dims_ok, TRUE AS phash_ok,
+                   TRUE AS pixels_ok, TRUE AS payload_ok
+            FROM documents WHERE doc_id < 200
         """,
         "image_aspect_buckets": _aspect_buckets_oracle_sql(),
         "image_exact_dedup": f"""

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.imaging import decode_image, phash64, psnr  # noqa: F401
+from ..functions.imaging import (  # noqa: F401
+    LOSSLESS_FORMATS,
+    decode_image,
+    phash64,
+    psnr,
+)
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -117,6 +122,90 @@ def resize_thumbnails(
     return df.select(id_col, bytes_col).mapInPandas(_thumb, schema=THUMB_SCHEMA)
 
 
+PARITY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("dims_ok", T.BooleanType()),
+        T.StructField("phash_ok", T.BooleanType()),
+        T.StructField("pixels_ok", T.BooleanType()),
+        T.StructField("payload_ok", T.BooleanType()),
+    ]
+)
+
+
+def payload_parity_meta(df: DataFrame, psnr_floor_db: float = 40.0) -> DataFrame:
+    """Per-row payload-parity verdict vs re-synthesized ground truth
+    (input_hint invariant: decoded-pixel allclose with PSNR ≥ 40 dB for
+    lossy / bit-exact for lossless, caption equality; ref:
+    pipelines/images.py ≈L130 convert_image round-trip checks).
+
+    Input is input_hint-shaped (image_id, bytes, w, h, fmt, caption,
+    phash). Each row is checked entirely executor-side: decode the
+    payload, re-derive the reference image from ``image_id``
+    (``synth_image`` — the deterministic generator any executor can
+    replay), then flag
+      dims_ok   — decoded (w, h) == stored metadata == reference shape
+      phash_ok  — stored phash == phash64(reference pixels)
+      pixels_ok — lossless: decoded == reference bit-exact;
+                  lossy: PSNR(decoded, reference) ≥ psnr_floor_db
+      payload_ok — all of the above.
+    ``fmt`` is the DECODED container format (not the stored column), so
+    a payload mis-encoded under the wrong magic fails the value check.
+    Every flag is TRUE for an intact corpus, which makes the whole
+    output replicable in pure SQL — the DuckDB oracle derives
+    (image_id, fmt, caption) by formula and pins the flags."""
+    from ..functions.imaging import synth_image
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, w, h, _fmt, caption, ph in zip(
+                *(pdf[c] for c in cols)
+            ):
+                try:
+                    arr, dfmt = decode_image(bytes(data))
+                except (ValueError, NotImplementedError):
+                    rows.append(
+                        (iid, None, caption, False, False, False, False, False)
+                    )
+                    continue
+                ref = synth_image(iid)
+                dims_ok = (
+                    arr.shape[1] == int(w)
+                    and arr.shape[0] == int(h)
+                    and ref.shape == arr.shape
+                )
+                phash_ok = int(ph) == phash64(ref)
+                if ref.shape != arr.shape:
+                    pixels_ok = False
+                elif dfmt in LOSSLESS_FORMATS:
+                    pixels_ok = bool((arr == ref).all())
+                else:
+                    pixels_ok = psnr(arr, ref) >= psnr_floor_db
+                rows.append(
+                    (
+                        iid,
+                        dfmt,
+                        caption,
+                        True,
+                        dims_ok,
+                        phash_ok,
+                        pixels_ok,
+                        dims_ok and phash_ok and pixels_ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PARITY_SCHEMA.fields]
+            )
+
+    return df.select(*cols).mapInPandas(_check, schema=PARITY_SCHEMA)
+
+
 def decode_media(df: DataFrame, modality: str, **kw) -> DataFrame:
     """Dispatch per modality. Image is real (deterministic codec / PIL);
     audio & video codecs are absent in this container — stubbed per the
@@ -139,8 +228,10 @@ def min_size_filter(meta: DataFrame, min_w: int = 8, min_h: int = 8) -> DataFram
 
 __all__ = [
     "IMAGE_META_SCHEMA",
+    "PARITY_SCHEMA",
     "THUMB_SCHEMA",
     "decode_image_meta",
+    "payload_parity_meta",
     "resize_thumbnails",
     "decode_media",
     "min_size_filter",

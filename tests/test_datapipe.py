@@ -223,6 +223,49 @@ def test_image_decode_meta_matches_synthesis_ground_truth(spark):
         assert got.phash == phash64(dec)
 
 
+def test_payload_parity_meta_flags(spark):
+    """Intact corpus → every flag TRUE; tampered payloads flip exactly the
+    right flag (the property the image_decode_meta oracle pins)."""
+    from scrapy_spark.datapipe.multimodal import payload_parity_meta
+    from scrapy_spark.sources.corpus import synth_corpus_df
+
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    corpus = synth_corpus_df(ids, "doc_id").cache()
+    ok = payload_parity_meta(corpus).collect()
+    assert len(ok) == 60
+    for r in ok:
+        assert (
+            r.decode_ok and r.dims_ok and r.phash_ok and r.pixels_ok
+            and r.payload_ok
+        ), r
+        assert r.fmt == (
+            "rawrgb" if int(r.image_id[3:]) % 5 < 3 else "qrgb"
+        )
+        assert r.caption.startswith(f"caption for {r.image_id}: ")
+
+    # corrupt the magic → decode fails, every flag false
+    bad_magic = corpus.limit(1).withColumn(
+        "bytes", F.concat(F.lit(b"XXXX"), F.col("bytes"))
+    )
+    r = payload_parity_meta(bad_magic).collect()[0]
+    assert not r.decode_ok and not r.payload_ok and r.fmt is None
+
+    # wrong stored phash → only phash_ok flips
+    bad_ph = corpus.limit(1).withColumn(
+        "phash", F.col("phash").bitwiseXOR(F.lit(1 << 33))
+    )
+    r = payload_parity_meta(bad_ph).collect()[0]
+    assert r.decode_ok and r.dims_ok and r.pixels_ok
+    assert not r.phash_ok and not r.payload_ok
+
+    # wrong stored dims → only dims_ok flips
+    bad_w = corpus.limit(1).withColumn("w", F.col("w") + F.lit(1))
+    r = payload_parity_meta(bad_w).collect()[0]
+    assert r.decode_ok and r.phash_ok and r.pixels_ok
+    assert not r.dims_ok and not r.payload_ok
+    corpus.unpersist()
+
+
 def test_token_count_estimate(spark):
     from scrapy_spark.datapipe.text import token_count_estimate
 
