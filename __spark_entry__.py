@@ -616,6 +616,28 @@ def q_image_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_parity_meta(corpus, psnr_floor_db=40.0).orderBy("image_id")
 
 
+def q_image_thumbs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 IMAGES_THUMBS as a value-checked contract query: synthetic
+    corpus → resize_thumbnails (decode → nearest-neighbor subsample →
+    rawrgb re-encode) → per-row verdict vs a recomputed expected
+    thumbnail from the same decoded input (datapipe/multimodal.py
+    thumbs_parity_meta). Flags pinned TRUE by the oracle — a wrong
+    scale factor, wrong dims, or wrong pixels fails the value hash."""
+    from scrapy_spark.datapipe.multimodal import (
+        resize_thumbnails,
+        thumbs_parity_meta,
+    )
+    from scrapy_spark.sources.corpus import synth_corpus_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    corpus = synth_corpus_df(docs, id_col="doc_id")
+    thumbs = resize_thumbnails(corpus, max_side=16)
+    joined = corpus.select("image_id", "bytes").join(thumbs, "image_id")
+    return thumbs_parity_meta(joined, max_side=16).orderBy("image_id")
+
+
 def _synthetic_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic (image_id, phash) table both engines can derive:
     base phash = top 60 bits of md5(doc_id) (15 hex chars → fits signed
@@ -863,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "request_identity": q_request_identity,
         "crawl_frontier_pop": q_crawl_frontier_pop,
         "image_decode_meta": q_image_decode_meta,
+        "image_thumbs_parity": q_image_thumbs_parity,
         "image_phash_neardup": q_image_phash_neardup,
         "image_phash_neardup_mih": q_image_phash_neardup_mih,
         "image_phash_cluster_reps": q_image_phash_cluster_reps,
@@ -1487,6 +1510,12 @@ def oracle_sql() -> dict[str, str]:
                      AS caption,
                    TRUE AS decode_ok, TRUE AS dims_ok, TRUE AS phash_ok,
                    TRUE AS pixels_ok, TRUE AS payload_ok
+            FROM documents WHERE doc_id < 200
+        """,
+        "image_thumbs_parity": """
+            SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS image_id,
+                   TRUE AS thumb_decodes, TRUE AS dims_ok,
+                   TRUE AS within_cap, TRUE AS pixels_ok, TRUE AS thumb_ok
             FROM documents WHERE doc_id < 200
         """,
         "image_aspect_buckets": _aspect_buckets_oracle_sql(),

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "request_identity",
     "crawl_frontier_pop",
     "image_decode_meta",
+    "image_thumbs_parity",
     "image_phash_neardup",
     "image_phash_neardup_mih",
     "image_phash_cluster_reps",

@@ -172,6 +172,12 @@ class CrawlConfig:
     frontier_partitions: int = 32  # P for pmod(xxhash64(fp), P) layout
     bloom_fpr: float = 1e-3
     bloom_enabled: bool = True
+    # seen-set probe structure: "bloom" (default; OR-mergeable bit arrays)
+    # or "cuckoo" (operators/cuckoo.py — supports per-key DELETION for
+    # recrawl/expiry policies, lower FPR at similar space). "none" or
+    # bloom_enabled=False disables the prefilter; the exact anti-join is
+    # always the correctness bar either way.
+    seen_filter: str = "bloom"
     arrow_batch_urls: int = 200_000  # maxRecordsPerBatch for URL-only stages
     arrow_batch_images: int = 10_000  # for binary-payload stages
 

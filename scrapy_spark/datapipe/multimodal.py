@@ -206,6 +206,63 @@ def payload_parity_meta(df: DataFrame, psnr_floor_db: float = 40.0) -> DataFrame
     return df.select(*cols).mapInPandas(_check, schema=PARITY_SCHEMA)
 
 
+THUMB_PARITY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("thumb_decodes", T.BooleanType()),
+        T.StructField("dims_ok", T.BooleanType()),
+        T.StructField("within_cap", T.BooleanType()),
+        T.StructField("pixels_ok", T.BooleanType()),
+        T.StructField("thumb_ok", T.BooleanType()),
+    ]
+)
+
+
+def thumbs_parity_meta(df: DataFrame, max_side: int = 16) -> DataFrame:
+    """Per-row thumbnail verdict (IMAGES_THUMBS semantics, ref:
+    pipelines/images.py thumbs ≈L110): given (image_id, bytes, thumb,
+    tw, th) — the original payload joined to ``resize_thumbnails``
+    output — recompute the expected thumbnail from the ACTUAL decoded
+    input (``arr[::scale, ::scale]`` with scale = ceil(long side /
+    max_side)) and flag
+      thumb_decodes — the thumb payload decodes (rawrgb container)
+      dims_ok       — (tw, th) == expected subsample dims
+      within_cap    — max(tw, th) ≤ max_side
+      pixels_ok     — decoded thumb == expected subsample, bit-exact
+      thumb_ok      — all of the above.
+    Every flag is TRUE for a correct resize, so the output is pure-SQL
+    replicable (image_id formula + pinned flags) — same oracle shape as
+    ``payload_parity_meta``."""
+
+    cols = ["image_id", "bytes", "thumb", "tw", "th"]
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, tb, tw, th in zip(*(pdf[c] for c in cols)):
+                try:
+                    src, _ = decode_image(bytes(data))
+                    got, _ = decode_image(bytes(tb))
+                except (ValueError, NotImplementedError):
+                    rows.append((iid, False, False, False, False, False))
+                    continue
+                h, w = src.shape[:2]
+                scale = max(1, int(np.ceil(max(h, w) / max_side)))
+                exp = src[::scale, ::scale]
+                dims_ok = (int(tw), int(th)) == (exp.shape[1], exp.shape[0])
+                within = max(int(tw), int(th)) <= max_side
+                pix_ok = got.shape == exp.shape and bool((got == exp).all())
+                rows.append(
+                    (iid, True, dims_ok, within, pix_ok,
+                     dims_ok and within and pix_ok)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in THUMB_PARITY_SCHEMA.fields]
+            )
+
+    return df.select(*cols).mapInPandas(_check, schema=THUMB_PARITY_SCHEMA)
+
+
 def decode_media(df: DataFrame, modality: str, **kw) -> DataFrame:
     """Dispatch per modality. Image is real (deterministic codec / PIL);
     audio & video codecs are absent in this container — stubbed per the
@@ -229,10 +286,12 @@ def min_size_filter(meta: DataFrame, min_w: int = 8, min_h: int = 8) -> DataFram
 __all__ = [
     "IMAGE_META_SCHEMA",
     "PARITY_SCHEMA",
+    "THUMB_PARITY_SCHEMA",
     "THUMB_SCHEMA",
     "decode_image_meta",
     "payload_parity_meta",
     "resize_thumbnails",
+    "thumbs_parity_meta",
     "decode_media",
     "min_size_filter",
 ]

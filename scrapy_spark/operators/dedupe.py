@@ -58,10 +58,14 @@ BROADCAST_CANDIDATE_MAX = 100_000
 def anti_join_seen(
     candidates: DataFrame,
     url_seen: DataFrame | None,
-    bloom: ShardedBloom | None = None,
+    bloom: "ShardedBloom | ShardedCuckoo | None" = None,
     n_candidates: int | None = None,
 ) -> DataFrame:
     """Exact seen-set dedupe; returns the fresh candidates.
+
+    ``bloom`` is any prefilter exposing ``n_added`` + ``probe_udf``
+    (operators/bloom.py ShardedBloom or operators/cuckoo.py
+    ShardedCuckoo — the north_rule's bloom/cuckoo pair).
 
     Two physical strategies, chosen by candidate-batch size
     (``n_candidates``, when the caller already knows it):

@@ -30,6 +30,7 @@ from ..operators.parse import extract_links
 from ..operators.pop import rank_and_pop
 from ..operators.robots_gate import apply_robots_gate
 from ..operators.bloom import ShardedBloom
+from ..operators.cuckoo import ShardedCuckoo
 from ..plans import schemas
 from ..sources.fixtures import CrawlFixture
 from ..sources.store import Store
@@ -90,11 +91,17 @@ class CrawlEngine:
         self.redirect_map = redirect_map
         self.pretrim = pretrim
         self.max_cap = max_slot_concurrency or max(cfg.concurrent_per_domain, 8)
-        self.bloom: ShardedBloom | None = (
-            ShardedBloom(capacity=1_000_000, fpr=cfg.bloom_fpr)
-            if cfg.bloom_enabled
-            else None
-        )
+        # seen-set prefilter: bloom (default) or cuckoo (deletable) —
+        # both expose n_added/capacity/probe_udf/absorb_df, so every
+        # consumer below is structure-agnostic
+        sf_kind = cfg.seen_filter if cfg.bloom_enabled else "none"
+        self.bloom: ShardedBloom | ShardedCuckoo | None
+        if sf_kind == "cuckoo":
+            self.bloom = ShardedCuckoo(capacity=1_000_000)
+        elif sf_kind == "bloom":
+            self.bloom = ShardedBloom(capacity=1_000_000, fpr=cfg.bloom_fpr)
+        else:
+            self.bloom = None
         self.stats_log: list[EpochStats] = []
 
     # ------------------------------------------------------------------ init
@@ -242,12 +249,17 @@ class CrawlEngine:
             return
         seen = self.store.read("url_seen")
         if seen is not None:
-            from ..operators.bloom import build_bloom_from_df
-
             capacity = max(self.bloom.capacity, 2 * seen.count(), 1_000_000)
-            self.bloom = build_bloom_from_df(
-                seen, capacity=capacity, fpr=self.cfg.bloom_fpr
-            )
+            if isinstance(self.bloom, ShardedCuckoo):
+                from ..operators.cuckoo import build_cuckoo_from_df
+
+                self.bloom = build_cuckoo_from_df(seen, capacity=capacity)
+            else:
+                from ..operators.bloom import build_bloom_from_df
+
+                self.bloom = build_bloom_from_df(
+                    seen, capacity=capacity, fpr=self.cfg.bloom_fpr
+                )
 
     # ------------------------------------------------------------------ run
     def run(self, max_epochs: int | None = None) -> list[EpochStats]:
@@ -1020,9 +1032,14 @@ class CrawlEngine:
             resolved={"frontier": frontier_next},
         )
         trace('commit')
-        if self.bloom is not None and self.bloom.n_added > self.bloom.capacity:
-            # saturation regrow: rebuild at 2× the committed seen count so
-            # the FPR stays near target instead of drifting toward 1
+        if self.bloom is not None and (
+            self.bloom.n_added > 0.9 * self.bloom.capacity
+        ):
+            # saturation regrow: rebuild at 2× the committed seen count.
+            # 0.9 (not 1.0) so the regrow fires BEFORE a cuckoo shard can
+            # exhaust its kicks mid-epoch (bloom just drifts in FPR, but
+            # an over-full cuckoo insert is a hard error); per-epoch
+            # deltas are ≪ capacity, so 10% headroom covers the gap
             self._rebuild_bloom()
         for df in (frontier, popped, fetched, links_raw, candidates, fresh, frontier_next):
             df.unpersist()

@@ -1,0 +1,127 @@
+"""Sharded cuckoo filter (operators/cuckoo.py) — the deletable half of
+the north_rule's "partitioned bloom-filter/cuckoo-filter structure".
+
+Covers: no false negatives, FPR bound, per-key deletion, distributed
+shard-owner build ≡ driver-side insertion (membership-wise), absorb,
+distributed delete, and an engine crawl with seen_filter="cuckoo"
+producing the same dedupe behavior as the bloom run.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_spark.operators.cuckoo import ShardedCuckoo, build_cuckoo_from_df
+
+
+def _fps(tag: str, n: int) -> list[bytes]:
+    return [hashlib.sha1(f"{tag}-{i}".encode()).digest() for i in range(n)]
+
+
+def test_insert_probe_no_false_negatives_and_fpr():
+    cf = ShardedCuckoo(capacity=50_000)
+    seen = _fps("in", 20_000)
+    cf.add_many(seen)
+    assert cf.maybe_contains(seen).all()  # zero false negatives, ever
+    other = _fps("out", 20_000)
+    fpr = cf.maybe_contains(other).mean()
+    # theory: 2 buckets × 4 slots × 2^-16 ≈ 1.2e-4; allow 5× slack
+    assert fpr <= 6e-4, fpr
+
+
+def test_delete_removes_only_target_keys():
+    cf = ShardedCuckoo(capacity=10_000)
+    keep = _fps("keep", 2_000)
+    drop = _fps("drop", 2_000)
+    cf.add_many(keep + drop)
+    assert cf.delete_many(drop) == len(drop)
+    assert cf.maybe_contains(keep).all()  # untouched keys still present
+    # deleted keys now miss (up to the FPR — bound it, don't demand zero)
+    assert cf.maybe_contains(drop).mean() <= 6e-4
+    assert cf.n_added == len(keep)
+    # delete of a never-added key is a no-op miss
+    assert cf.delete_many(_fps("ghost", 100)) <= 100 * 6e-4 * 100 + 1
+
+
+def test_kick_eviction_path_still_exact():
+    """Overfill a tiny filter to force cuckoo kicks; membership holds."""
+    cf = ShardedCuckoo(capacity=1_024, shards=2)
+    fps = _fps("kick", 1_500)  # > nominal capacity but under bucket space
+    cf.add_many(fps)
+    assert cf.maybe_contains(fps).all()
+
+
+def test_distributed_build_matches_driver_insertion(spark):
+    fps = _fps("dist", 30_000)
+    df = spark.createDataFrame([(f,) for f in fps], "fp binary").repartition(8)
+    built = build_cuckoo_from_df(df, capacity=50_000)
+    assert built.n_added == len(fps)
+    assert built.maybe_contains(fps).all()
+    # same membership answers as a driver-side build for probes both ways
+    local = ShardedCuckoo(capacity=50_000)
+    local.add_many(fps)
+    probes = _fps("probe", 5_000)
+    np.testing.assert_array_equal(
+        built.maybe_contains(fps), local.maybe_contains(fps)
+    )
+    # FP sets may differ slot-wise but both respect the bound
+    assert built.maybe_contains(probes).mean() <= 6e-4
+
+
+def test_absorb_df_and_delete_df(spark):
+    cf = ShardedCuckoo(capacity=50_000)
+    first = _fps("a", 5_000)
+    cf.add_many(first)
+    second = _fps("b", 5_000)
+    df = spark.createDataFrame([(f,) for f in second], "fp binary")
+    assert cf.absorb_df(df) == len(second)
+    assert cf.maybe_contains(first).all() and cf.maybe_contains(second).all()
+    # distributed delete of the first batch
+    ddf = spark.createDataFrame([(f,) for f in first], "fp binary")
+    assert cf.delete_df(ddf) == len(first)
+    assert cf.maybe_contains(second).all()
+    assert cf.maybe_contains(first).mean() <= 6e-4
+
+
+def test_probe_udf_matches_local(spark):
+    cf = ShardedCuckoo(capacity=20_000)
+    seen = _fps("udf", 5_000)
+    cf.add_many(seen)
+    mixed = seen[:1000] + _fps("miss", 1000)
+    df = spark.createDataFrame([(f,) for f in mixed], "fp binary")
+    got = [
+        r.m
+        for r in df.select(cf.probe_udf(spark)(F.col("fp")).alias("m"))
+        .collect()
+    ]
+    np.testing.assert_array_equal(np.array(got), cf.maybe_contains(mixed))
+
+
+@pytest.mark.parametrize("seen_filter", ["cuckoo"])
+def test_engine_crawl_with_cuckoo_matches_bloom(spark, seen_filter):
+    """Full engine run with the cuckoo prefilter: identical EpochStats to
+    the bloom run (the prefilter can only skip exact-join work, never
+    change results)."""
+    from scrapy_spark.config import CrawlConfig
+    from scrapy_spark.sources.fixtures import gen_crawl_fixture
+    from scrapy_spark.sources.store import MemoryStore
+    from scrapy_spark.streaming.engine import CrawlEngine
+
+    def run(sf):
+        fix = gen_crawl_fixture("tiny", seed=7, with_payload=False)
+        cfg = CrawlConfig(
+            epoch_budget=64,
+            max_epochs=4,
+            allowed_domains=("example",),
+            depth_limit=3,
+            seen_filter=sf,
+        )
+        store = MemoryStore(spark)
+        stats = CrawlEngine.from_fixture(spark, cfg, store, fix).run(
+            max_epochs=4
+        )
+        return [(s.epoch, s.popped, s.fresh, s.queued_after) for s in stats]
+
+    assert run("cuckoo") == run("bloom")

@@ -266,6 +266,40 @@ def test_payload_parity_meta_flags(spark):
     corpus.unpersist()
 
 
+def test_thumbs_parity_meta_flags(spark):
+    """Correct thumbnails → all flags TRUE; a tampered thumb payload or
+    wrong claimed dims flip the right flags (what the
+    image_thumbs_parity oracle pins)."""
+    from scrapy_spark.datapipe.multimodal import (
+        resize_thumbnails,
+        thumbs_parity_meta,
+    )
+    from scrapy_spark.sources.corpus import synth_corpus_df
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    corpus = synth_corpus_df(ids, "doc_id")
+    thumbs = resize_thumbnails(corpus, max_side=16)
+    joined = corpus.select("image_id", "bytes").join(thumbs, "image_id").cache()
+    ok = thumbs_parity_meta(joined, max_side=16).collect()
+    assert len(ok) == 40
+    assert all(
+        r.thumb_decodes and r.dims_ok and r.within_cap and r.pixels_ok
+        and r.thumb_ok
+        for r in ok
+    )
+
+    bad_dims = joined.limit(1).withColumn("tw", F.col("tw") + F.lit(1))
+    r = thumbs_parity_meta(bad_dims, max_side=16).collect()[0]
+    assert r.thumb_decodes and r.pixels_ok and not r.dims_ok and not r.thumb_ok
+
+    bad_pix = joined.limit(1).withColumn(
+        "thumb", F.concat(F.lit(b"XXXX"), F.col("thumb"))
+    )
+    r = thumbs_parity_meta(bad_pix, max_side=16).collect()[0]
+    assert not r.thumb_decodes and not r.thumb_ok
+    joined.unpersist()
+
+
 def test_token_count_estimate(spark):
     from scrapy_spark.datapipe.text import token_count_estimate
 
