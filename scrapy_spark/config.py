@@ -178,6 +178,11 @@ class CrawlConfig:
     # bloom_enabled=False disables the prefilter; the exact anti-join is
     # always the correctness bar either way.
     seen_filter: str = "bloom"
+    # recrawl TTL: expire url_seen rows ttl epochs after insertion so the
+    # URL re-enters the frontier on its next sighting (0 = never expire —
+    # upstream behavior). Pairs naturally with seen_filter="cuckoo"
+    # (per-key delete); the bloom path rebuilds from the retained set.
+    seen_ttl_epochs: int = 0
     arrow_batch_urls: int = 200_000  # maxRecordsPerBatch for URL-only stages
     arrow_batch_images: int = 10_000  # for binary-payload stages
 

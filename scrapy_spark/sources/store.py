@@ -188,8 +188,19 @@ class ParquetStore(Store):
             tables[name] = [self._write(epoch, name, df)]
         for name, df in append.items():
             # caller guarantees df is non-empty (skip-empty handled upstream)
-            prev = tables.get(name) or []
-            tables[name] = list(prev) + [self._write(epoch, name, df)]
+            prev = tables.get(name)
+            if isinstance(prev, dict):
+                # table already merge-on-read (e.g. url_seen after an
+                # expiry commit): appends are MOR inserts — list(prev)
+                # here would have silently flattened the dict to its keys
+                entry = {k: list(v) if isinstance(v, list) else v
+                         for k, v in prev.items()}
+                entry["ins"] = entry["ins"] + [
+                    self._write(epoch, f"{name}_ins", df)
+                ]
+                tables[name] = entry
+            else:
+                tables[name] = list(prev or []) + [self._write(epoch, name, df)]
         for name, (key, dels, ins) in (mutate or {}).items():
             prev = tables.get(name)
             if isinstance(prev, list):  # promote a replace-table to MOR
@@ -268,7 +279,15 @@ class MemoryStore(Store):
             self._parts.pop(name, None)  # replace resets any deltas
             self._mor.pop(name, None)
         for name, df in append.items():
-            self._parts.setdefault(name, []).append(df.localCheckpoint(eager=True))
+            ck = df.localCheckpoint(eager=True)
+            if name in self._mor:
+                # MOR tables absorb appends as inserts — reads of a MOR
+                # table never consult _parts, so parking the delta there
+                # would silently drop committed rows
+                k, base, dl, il = self._mor[name]
+                self._mor[name] = (k, base, dl, il + [ck])
+            else:
+                self._parts.setdefault(name, []).append(ck)
         for name, (key, dels, ins) in (mutate or {}).items():
             src = (resolved or {}).get(name)
             if src is not None:
@@ -277,12 +296,24 @@ class MemoryStore(Store):
                 # no delta chain to re-read (the MOR durability story is
                 # ParquetStore's; this store measures the scheduling core)
                 self._tables[name] = src.localCheckpoint(eager=True)
+                self._parts.pop(name, None)  # resolved subsumes deltas
                 self._mor.pop(name, None)
                 continue
             if name in self._mor:
                 k, base, dl, il = self._mor[name]
-            else:  # promote the replace-table to merge-on-read
-                k, base, dl, il = key, self._tables.pop(name), [], []
+            else:
+                # promote to merge-on-read, folding BOTH the replace base
+                # and any appended deltas (url_seen has a replaced
+                # bootstrap base + per-epoch appends — dropping _parts
+                # here would silently lose committed rows)
+                pieces = []
+                if name in self._tables:
+                    pieces.append(self._tables.pop(name))
+                pieces += self._parts.pop(name, [])
+                base = pieces[0]
+                for p in pieces[1:]:
+                    base = base.unionByName(p)
+                k, dl, il = key, [], []
             dl = dl + [dels.localCheckpoint(eager=True)]
             il = il + [ins.localCheckpoint(eager=True)]
             if len(dl) >= COMPACT_EVERY:

@@ -261,6 +261,45 @@ class CrawlEngine:
                     seen, capacity=capacity, fpr=self.cfg.bloom_fpr
                 )
 
+    def expire_seen(self, before_epoch: int) -> int:
+        """Recrawl/expiry maintenance — the op the cuckoo filter's
+        deletion exists for: drop every url_seen row with
+        ``epoch_added < before_epoch`` so those URLs dedupe as FRESH on
+        their next sighting (upstream Scrapy has no TTL; this is the
+        deltafetch-style recrawl policy a long-running frontier needs).
+
+        url_seen shrinks via the store's keyed-delete path (MOR deltas,
+        same machinery as frontier pops). The prefilter updates in place
+        when it supports deletion (ShardedCuckoo.delete_df — executors
+        derive (shard, tag, bucket) quads, no fingerprint reaches the
+        driver); the bloom can't delete, so it rebuilds distributed from
+        the retained snapshot. Returns the number of fps expired."""
+        seen = self.store.read("url_seen")
+        if seen is None:
+            return 0
+        expired = seen.filter(F.col("epoch_added") < before_epoch).cache()
+        n = expired.count()
+        if n:
+            metrics_row = self.spark.createDataFrame(
+                [(int(self.store.epoch), -1, "seen/expired", float(n))],
+                schemas.METRICS,
+            )
+            self.store.commit(
+                self.store.epoch,
+                replace={},
+                append={"metrics": metrics_row},
+                scalars=self.store.scalars,
+                # empty inserts in the TABLE'S OWN schema (stored url_seen
+                # carries the derived bucket column on top of URL_SEEN)
+                mutate={"url_seen": ("fp", expired.select("fp"), seen.limit(0))},
+            )
+            if isinstance(self.bloom, ShardedCuckoo):
+                self.bloom.delete_df(expired.select("fp"))
+            elif self.bloom is not None:
+                self._rebuild_bloom()
+        expired.unpersist()
+        return n
+
     # ------------------------------------------------------------------ run
     def run(self, max_epochs: int | None = None) -> list[EpochStats]:
         cfg = self.cfg
@@ -269,6 +308,9 @@ class CrawlEngine:
         for e in range(start, start + limit):
             stats = self.run_epoch(e)
             self.stats_log.append(stats)
+            if cfg.seen_ttl_epochs > 0:
+                # rows added at epoch a expire once e - a >= ttl
+                self.expire_seen(e - cfg.seen_ttl_epochs + 1)
             sc = self.store.scalars
             if stats.queued_after == 0:
                 break

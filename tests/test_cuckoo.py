@@ -99,6 +99,79 @@ def test_probe_udf_matches_local(spark):
     np.testing.assert_array_equal(np.array(got), cf.maybe_contains(mixed))
 
 
+def _tiny_engine(spark, **cfg_kw):
+    from scrapy_spark.config import CrawlConfig
+    from scrapy_spark.sources.fixtures import gen_crawl_fixture
+    from scrapy_spark.sources.store import MemoryStore
+    from scrapy_spark.streaming.engine import CrawlEngine
+
+    fix = gen_crawl_fixture("tiny", seed=7, with_payload=False)
+    cfg = CrawlConfig(
+        epoch_budget=64,
+        max_epochs=4,
+        allowed_domains=("example",),
+        depth_limit=3,
+        **cfg_kw,
+    )
+    store = MemoryStore(spark)
+    return CrawlEngine.from_fixture(spark, cfg, store, fix), store
+
+
+def test_expire_seen_full_and_partial(spark):
+    """Recrawl/expiry maintenance: expire_seen drops url_seen rows by
+    epoch_added, the cuckoo filter deletes the same keys in place, and
+    the dedupe path treats expired URLs as fresh again."""
+    from scrapy_spark.operators.dedupe import anti_join_seen
+
+    eng, store = _tiny_engine(spark, seen_filter="cuckoo")
+    eng.run(max_epochs=4)
+    seen = store.read("url_seen")
+    fps = [bytes(r.fp) for r in seen.collect()]
+    assert len(fps) > 0
+    epochs = sorted({r.epoch_added for r in store.read("url_seen").collect()})
+    assert len(epochs) >= 2, "fixture too small to test partial expiry"
+
+    # partial expiry: only rows older than the cut go
+    cut = epochs[1]
+    n_old = store.read("url_seen").filter(f"epoch_added < {cut}").count()
+    assert eng.expire_seen(cut) == n_old
+    left = store.read("url_seen")
+    assert left.filter(f"epoch_added < {cut}").count() == 0
+    assert left.count() == len(fps) - n_old
+    assert eng.bloom.n_added == len(fps) - n_old
+
+    # full expiry: seen set empties, probes flip, candidates all fresh
+    assert eng.expire_seen(10**9) == len(fps) - n_old
+    assert store.read("url_seen").count() == 0
+    assert eng.bloom.n_added == 0
+    assert eng.bloom.maybe_contains(fps).mean() <= 6e-4
+    cands = spark.createDataFrame([(f,) for f in fps], "fp binary")
+    fresh = anti_join_seen(cands, store.read("url_seen"), eng.bloom)
+    assert fresh.count() == len(fps)
+
+    # idempotent on an empty set
+    assert eng.expire_seen(10**9) == 0
+
+
+def test_seen_ttl_config_bounds_url_seen_age(spark):
+    """seen_ttl_epochs=N keeps only the last N epochs' fps in url_seen."""
+    eng, store = _tiny_engine(spark, seen_filter="cuckoo", seen_ttl_epochs=2)
+    stats = eng.run(max_epochs=4)
+    last = stats[-1].epoch
+    seen = store.read("url_seen")
+    if seen.count():
+        assert seen.agg({"epoch_added": "min"}).collect()[0][0] >= last - 1
+    # bloom path: same TTL semantics via rebuild-from-retained
+    eng2, store2 = _tiny_engine(spark, seen_filter="bloom", seen_ttl_epochs=2)
+    stats2 = eng2.run(max_epochs=4)
+    seen2 = store2.read("url_seen")
+    if seen2.count():
+        assert (
+            seen2.agg({"epoch_added": "min"}).collect()[0][0]
+            >= stats2[-1].epoch - 1
+        )
+
+
 @pytest.mark.parametrize("seen_filter", ["cuckoo"])
 def test_engine_crawl_with_cuckoo_matches_bloom(spark, seen_filter):
     """Full engine run with the cuckoo prefilter: identical EpochStats to

@@ -123,3 +123,35 @@ def test_parquet_store_mor_with_compaction(spark, tmp_path, resolved_hint, monke
     reopened = ParquetStore(spark, str(tmp_path / f"s{resolved_hint}"))
     assert _rows(reopened.read("t")) == sorted(state.items())
     assert reopened.scalars == {"s": 5}
+
+
+@pytest.mark.parametrize("store_kind", ["memory", "parquet"])
+def test_append_after_mor_promotion(spark, tmp_path, store_kind):
+    """An append committed AFTER a table was promoted to merge-on-read
+    must surface in reads (it becomes a MOR insert) — the url_seen
+    lifecycle under seen-TTL expiry: bootstrap replace → per-epoch
+    appends → keyed-delete mutate → MORE appends."""
+    store = (
+        MemoryStore(spark)
+        if store_kind == "memory"
+        else ParquetStore(spark, str(tmp_path / "am"))
+    )
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(4)], "seq long, v string")
+    store.commit(0, replace={"t": base}, append={}, scalars={})
+    ap1 = spark.createDataFrame([(10, "a1")], "seq long, v string")
+    store.commit(1, replace={}, append={"t": ap1}, scalars={})
+    # keyed delete promotes (base + appended delta) to MOR
+    dels = spark.createDataFrame([(1,), (10,)], "seq long")
+    empty = base.limit(0)
+    store.commit(2, replace={}, append={}, scalars={}, mutate={"t": ("seq", dels, empty)})
+    assert _rows(store.read("t")) == [(0, "v0"), (2, "v2"), (3, "v3")]
+    # append AFTER promotion: must be readable, and deletable in turn
+    ap2 = spark.createDataFrame([(20, "a2")], "seq long, v string")
+    store.commit(3, replace={}, append={"t": ap2}, scalars={})
+    assert _rows(store.read("t")) == [(0, "v0"), (2, "v2"), (3, "v3"), (20, "a2")]
+    d2 = spark.createDataFrame([(20,)], "seq long")
+    store.commit(4, replace={}, append={}, scalars={}, mutate={"t": ("seq", d2, empty)})
+    assert _rows(store.read("t")) == [(0, "v0"), (2, "v2"), (3, "v3")]
+    if store_kind == "parquet":
+        reopened = ParquetStore(spark, str(tmp_path / "am"))
+        assert _rows(reopened.read("t")) == [(0, "v0"), (2, "v2"), (3, "v3")]

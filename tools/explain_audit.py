@@ -133,6 +133,10 @@ def main() -> int:
             ["HashAggregate"],
             list(BAD_EVERYWHERE) + ["ArrowEvalPython"],
         ),
+        # payload/thumbnail parity verdicts: decode is inherently Python
+        # (mapInPandas) — assert exactly that shape and nothing worse
+        ("image_decode_meta", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
+        ("image_thumbs_parity", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         # alignment gate/histogram: JVM zip_with+aggregate fold — the whole
         # cosine must stay codegen-side, zero Python evals
         (
