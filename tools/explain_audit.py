@@ -135,8 +135,8 @@ def main() -> int:
         ),
         # payload/thumbnail parity verdicts: decode is inherently Python
         # (mapInPandas) — assert exactly that shape and nothing worse
-        ("image_decode_meta", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
-        ("image_thumbs_parity", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
+        ("image_decode_meta", ["MapInPandas"], list(BAD_EVERYWHERE)),
+        ("image_thumbs_parity", ["MapInPandas"], list(BAD_EVERYWHERE)),
         # alignment gate/histogram: JVM zip_with+aggregate fold — the whole
         # cosine must stay codegen-side, zero Python evals
         (
