@@ -57,6 +57,20 @@ def main() -> None:
         help="http backend: comma-separated offsite allow-list "
         "(empty = no offsite filter)",
     )
+    ap.add_argument(
+        "--seen-filter",
+        default="bloom",
+        choices=("bloom", "cuckoo", "none"),
+        help="url_seen prefilter structure; cuckoo supports per-key "
+        "deletion (pairs with --seen-ttl-epochs)",
+    )
+    ap.add_argument(
+        "--seen-ttl-epochs",
+        type=int,
+        default=0,
+        help="recrawl policy: expire url_seen rows N epochs after "
+        "insertion so URLs re-enter the frontier (0 = never)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -92,6 +106,8 @@ def main() -> None:
             depth_limit=6,
             depth_priority=1,
             queue_order="fifo",
+            seen_filter=args.seen_filter,
+            seen_ttl_epochs=args.seen_ttl_epochs,
         )
         seeds = pd.read_csv(args.seeds_csv)
         if "priority" not in seeds.columns:
@@ -119,6 +135,8 @@ def main() -> None:
             depth_limit=6,
             depth_priority=1,
             queue_order="fifo",
+            seen_filter=args.seen_filter,
+            seen_ttl_epochs=args.seen_ttl_epochs,
         )
         fix = gen_crawl_fixture(args.scale, seed=args.seed, with_payload=False)
         eng = CrawlEngine.from_fixture(spark, cfg, store, fix)
