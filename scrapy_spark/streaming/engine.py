@@ -716,7 +716,13 @@ class CrawlEngine:
                 lambda d: with_referer(
                     d, cfg.referrer_policy, parent_col="parent_url"
                 )
-                if cfg.referrer_policy != "no-referrer" and "parent_url" in d.columns
+                # the referer value is only ever CONSUMED by the http
+                # fetcher's request headers — the synthetic parity path
+                # carries a NULL column instead of paying an extra
+                # Python pass per link candidate in the hot loop
+                if cfg.fetch_backend == "http"
+                and cfg.referrer_policy != "no-referrer"
+                and "parent_url" in d.columns
                 else d.withColumn("referer", F.lit(None).cast("string"))
             )
             .withColumn("kind", F.lit(2))
