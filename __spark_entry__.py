@@ -495,6 +495,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(corpus, k=5, nbits=16, ntables=8)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (datapipe/similarity.py ivf_topk: sampled-k-means
+    codebook, cell assignment via one broadcast matmul per Arrow batch,
+    probe-cells candidate join, exact cosine re-rank) run at
+    nprobe = ncells, where the ENTIRE pipeline must reproduce exact
+    brute-force kNN value-for-value regardless of centroid quality —
+    the strongest possible whole-pipeline oracle for an ANN index
+    (recall at nprobe < ncells is covered in tests/test_datapipe.py).
+    Queries restricted to vec_id < 10 (the query ≪ corpus shape); the
+    full corpus is still indexed and probed."""
+    from scrapy_spark.datapipe.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, k=5, ncells=16, nprobe=16,
+        query_filter=F.col("vec_id") < 10,
+    )
+
+
 def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_spark.datapipe.text import winnow_fingerprints
 
@@ -881,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": q_text_repetition_stats,
         "text_contamination": q_text_contamination,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "request_identity": q_request_identity,
         "crawl_frontier_pop": q_crawl_frontier_pop,
@@ -1369,6 +1389,28 @@ def oracle_sql() -> dict[str, str]:
                             sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
               FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
             WHERE cos_sim >= 0.99
+        """,
+        # IVF at nprobe = ncells probes every cell, so its output must
+        # EQUAL exact brute-force kNN — the oracle is the same shape as
+        # knn_cosine_topk (same query set, rounding, and tie-break)
+        "ann_ivf_topk": """
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(
+                       list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                       4) AS cos_sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(
+                         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                         4) DESC, c.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 10)
+            WHERE rank <= 5
         """,
         "knn_cosine_topk": """
             SELECT query_id, neighbor_id, cos_sim, rank FROM (

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "embedding_near_dup_lsh",
     "knn_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality_score",
     "text_lang_id",
     "text_token_count",

@@ -284,6 +284,7 @@ def ivf_topk(
     nprobe: int = 4,
     dim: int = 64,
     seed: int = 7,
+    query_filter=None,
 ) -> DataFrame:
     """IVF approximate top-k — the recommended corpus×corpus scale path.
 
@@ -322,7 +323,11 @@ def ivf_topk(
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    probes = base.withColumn(
+    # optional query-side restriction (Column predicate over df's columns):
+    # index the FULL corpus, probe only the selected queries — the
+    # query≪corpus shape every online ANN service runs
+    qbase = base.filter(query_filter) if query_filter is not None else base
+    probes = qbase.withColumn(
         "cell", F.explode(_assign_udf(nprobe)(F.col("v")))
     ).select(
         F.col(id_col).alias("query_id"),
