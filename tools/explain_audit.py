@@ -90,6 +90,9 @@ def main() -> int:
         ("dedup_exact", ["HashAggregate"], list(BAD_EVERYWHERE)),
         ("embedding_near_dup_lsh", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         ("ann_lsh_topk", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
+        # IVF: cell-assignment is the only Python stage; the candidate
+        # join must be a key-equijoin on cell, never a cross-product
+        ("ann_ivf_topk", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         ("text_token_stats", ["ReadSchema"], list(BAD_EVERYWHERE)),  # map-only: no filter to push; assert column pruning
         ("doc_winnow_fingerprints", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         # stratified sample never reads the text column (column pruning:
