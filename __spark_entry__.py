@@ -657,6 +657,38 @@ def q_image_thumbs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbs_parity_meta(joined, max_side=16).orderBy("image_id")
 
 
+def q_audio_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing (C12 family): deterministic spcm corpus
+    → mapInPandas decode → typed metadata + PCM content parity
+    (datapipe/multimodal.py audio_decode_meta). rate / channels /
+    nsamples / duration are DECODED values whose ground truth is a pure
+    doc_id formula — the DuckDB oracle value-checks them; samples_ok
+    (decoded PCM ≡ re-synthesis, bit-exact) is pinned TRUE."""
+    from scrapy_spark.datapipe.multimodal import audio_decode_meta
+    from scrapy_spark.sources.corpus import synth_media_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    return audio_decode_meta(synth_media_df(docs, "audio")).orderBy("media_id")
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video plumbing: deterministic svid corpus → decode →
+    every-3rd-frame sampling + per-frame bit-exact parity
+    (datapipe/multimodal.py video_frame_sample). Dims / frame counts /
+    sampled counts are doc_id formulas the oracle value-checks."""
+    from scrapy_spark.datapipe.multimodal import video_frame_sample
+    from scrapy_spark.sources.corpus import synth_media_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    return video_frame_sample(
+        synth_media_df(docs, "video"), every_k=3
+    ).orderBy("media_id")
+
+
 def _synthetic_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic (image_id, phash) table both engines can derive:
     base phash = top 60 bits of md5(doc_id) (15 hex chars → fits signed
@@ -906,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_pop": q_crawl_frontier_pop,
         "image_decode_meta": q_image_decode_meta,
         "image_thumbs_parity": q_image_thumbs_parity,
+        "audio_decode_meta": q_audio_decode_meta,
+        "video_frame_sample": q_video_frame_sample,
         "image_phash_neardup": q_image_phash_neardup,
         "image_phash_neardup_mih": q_image_phash_neardup_mih,
         "image_phash_cluster_reps": q_image_phash_cluster_reps,
@@ -1552,6 +1586,30 @@ def oracle_sql() -> dict[str, str]:
                      AS caption,
                    TRUE AS decode_ok, TRUE AS dims_ok, TRUE AS phash_ok,
                    TRUE AS pixels_ok, TRUE AS payload_ok
+            FROM documents WHERE doc_id < 200
+        """,
+        # audio/video fake-codec corpora: every header field the decode
+        # returns is a pure doc_id formula (functions/media.py
+        # audio_params/video_params), so the oracle checks VALUES —
+        # only the bit-exact content flags are pinned TRUE
+        "audio_decode_meta": """
+            SELECT 'aud' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS media_id,
+                   CAST(16000 + (doc_id % 2) * 28100 AS INT) AS rate,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(256 + (doc_id % 50) * 64 AS INT) AS nsamples,
+                   round((256 + (doc_id % 50) * 64) * 1000.0
+                         / (16000 + (doc_id % 2) * 28100), 4) AS duration_ms,
+                   TRUE AS decode_ok, TRUE AS samples_ok
+            FROM documents WHERE doc_id < 200
+        """,
+        "video_frame_sample": """
+            SELECT 'vid' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS media_id,
+                   CAST(4 + doc_id % 9 AS INT) AS w,
+                   CAST(4 + (doc_id * 3) % 9 AS INT) AS h,
+                   CAST(4 + doc_id % 13 AS INT) AS nframes,
+                   CAST(floor((4 + doc_id % 13 - 1) / 3) AS INT) + 1
+                     AS n_sampled,
+                   TRUE AS decode_ok, TRUE AS frames_ok
             FROM documents WHERE doc_id < 200
         """,
         "image_thumbs_parity": """

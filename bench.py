@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "crawl_frontier_pop",
     "image_decode_meta",
     "image_thumbs_parity",
+    "audio_decode_meta",
+    "video_frame_sample",
     "image_phash_neardup",
     "image_phash_neardup_mih",
     "image_phash_cluster_reps",

@@ -8,9 +8,12 @@ image decode uses the repo's deterministic codec
 (``scrapy_spark.functions.imaging``) in-sandbox and Pillow on a real
 cluster (same API, ``_HAS_PIL`` flips — imaging.py docstring).
 
-Audio/video decode is stubbed: ``decode_media`` raises
-NotImplementedError for modalities whose codecs aren't in this
-container, per the build contract.
+Audio/video codec libraries are absent in this container, so those
+modalities decode against DETERMINISTIC FAKE containers (spcm / svid,
+``functions/media.py``) per the build contract — header fields are pure
+id formulas (value-oracle-able), content parity is bit-exact
+re-synthesis; a real cluster swaps in soundfile / PyAV behind the same
+dispatch (``decode_media``).
 """
 
 from __future__ import annotations
@@ -263,17 +266,125 @@ def thumbs_parity_meta(df: DataFrame, max_side: int = 16) -> DataFrame:
     return df.select(*cols).mapInPandas(_check, schema=THUMB_PARITY_SCHEMA)
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("nsamples", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("samples_ok", T.BooleanType()),
+    ]
+)
+
+
+def audio_decode_meta(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """binary → typed audio metadata + content parity (spcm fake codec,
+    functions/media.py; real clusters swap in soundfile behind the same
+    API). rate/channels/nsamples/duration come FROM THE DECODE, and the
+    synthesis derives them from the id by formula — so the DuckDB oracle
+    value-checks the decoded header, while ``samples_ok`` (decoded PCM
+    bit-exact vs re-synthesis) is pinned TRUE."""
+    from ..functions.media import decode_audio, synth_audio
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf["bytes"]):
+                try:
+                    samples, rate, channels = decode_audio(bytes(data))
+                except (ValueError, NotImplementedError):
+                    rows.append((mid, None, None, None, None, False, False))
+                    continue
+                n = samples.shape[0]
+                ref = synth_audio(mid, int(mid[3:]))
+                rows.append(
+                    (
+                        mid,
+                        int(rate),
+                        int(channels),
+                        int(n),
+                        round(n * 1000.0 / rate, 4),
+                        True,
+                        bytes(data) == ref,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+            )
+
+    return df.select(id_col, "bytes").mapInPandas(
+        _decode, schema=AUDIO_META_SCHEMA
+    )
+
+
+VIDEO_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("nframes", T.IntegerType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("frames_ok", T.BooleanType()),
+    ]
+)
+
+
+def video_frame_sample(
+    df: DataFrame, every_k: int = 3, id_col: str = "media_id"
+) -> DataFrame:
+    """Frame-sampling pass (svid fake codec; PyAV on a real cluster):
+    decode → take frames 0, k, 2k, … → per-row stats + parity. Header
+    fields and the sampled count are id formulas (oracle value-checks
+    them); ``frames_ok`` asserts each SAMPLED frame is bit-exact vs the
+    re-synthesized source video — the operator only ever materializes
+    the sampled frames, which is the point of frame sampling at scale."""
+    from ..functions.media import (
+        decode_video,
+        sample_frame_indices,
+        synth_video,
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf["bytes"]):
+                try:
+                    frames, w, h, n = decode_video(bytes(data))
+                except (ValueError, NotImplementedError):
+                    rows.append((mid, None, None, None, None, False, False))
+                    continue
+                idx = sample_frame_indices(n, every_k)
+                ref_frames, *_ = decode_video(synth_video(mid, int(mid[3:])))
+                ok = all(
+                    (frames[i] == ref_frames[i]).all() for i in idx
+                ) if ref_frames.shape == frames.shape else False
+                rows.append(
+                    (mid, int(w), int(h), int(n), len(idx), True, bool(ok))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_SAMPLE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, "bytes").mapInPandas(
+        _sample, schema=VIDEO_SAMPLE_SCHEMA
+    )
+
+
 def decode_media(df: DataFrame, modality: str, **kw) -> DataFrame:
-    """Dispatch per modality. Image is real (deterministic codec / PIL);
-    audio & video codecs are absent in this container — stubbed per the
-    build contract, the Spark plumbing (binary col + mapInPandas) is
-    identical when a codec lands."""
+    """Dispatch per modality. All three decode against deterministic
+    codecs in-sandbox (imaging.py rawrgb/qrgb; media.py spcm/svid); on a
+    real cluster the same API dispatches to Pillow/soundfile/PyAV behind
+    the import-try seams."""
     if modality == "image":
         return decode_image_meta(df, **kw)
-    raise NotImplementedError(
-        f"{modality!r} decode requires codec libraries not present in this "
-        "container; plumbing is identical to decode_image_meta"
-    )
+    if modality == "audio":
+        return audio_decode_meta(df, **kw)
+    if modality == "video":
+        return video_frame_sample(df, **kw)
+    raise NotImplementedError(f"unknown modality {modality!r}")
 
 
 def min_size_filter(meta: DataFrame, min_w: int = 8, min_h: int = 8) -> DataFrame:
@@ -284,14 +395,18 @@ def min_size_filter(meta: DataFrame, min_w: int = 8, min_h: int = 8) -> DataFram
 
 
 __all__ = [
+    "AUDIO_META_SCHEMA",
     "IMAGE_META_SCHEMA",
     "PARITY_SCHEMA",
     "THUMB_PARITY_SCHEMA",
     "THUMB_SCHEMA",
+    "VIDEO_SAMPLE_SCHEMA",
+    "audio_decode_meta",
     "decode_image_meta",
     "payload_parity_meta",
     "resize_thumbnails",
     "thumbs_parity_meta",
+    "video_frame_sample",
     "decode_media",
     "min_size_filter",
 ]

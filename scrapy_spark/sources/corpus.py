@@ -57,4 +57,32 @@ def synth_corpus_df(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-__all__ = ["synth_corpus_df"]
+MEDIA_SCHEMA = "media_id string, bytes binary"
+
+
+def synth_media_df(
+    ids: DataFrame, modality: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id) → deterministic audio/video payload rows (media_id, bytes),
+    executor-side like ``synth_corpus_df`` — header fields are pure
+    formulas of the id (functions/media.py audio_params/video_params),
+    so decode output is value-oracle-able."""
+    from ..functions.media import synth_audio, synth_video
+
+    gen = {"audio": synth_audio, "video": synth_video}[modality]
+    prefix = {"audio": "aud", "video": "vid"}[modality]
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (f"{prefix}{int(r):010d}", gen(f"{prefix}{int(r):010d}", int(r)))
+                for r in pdf[id_col]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+__all__ = ["synth_corpus_df", "synth_media_df", "MEDIA_SCHEMA"]

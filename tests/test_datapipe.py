@@ -300,6 +300,90 @@ def test_thumbs_parity_meta_flags(spark):
     joined.unpersist()
 
 
+def test_audio_video_fake_codecs_round_trip():
+    """spcm/svid codecs: encode → decode round-trips bit-exact, headers
+    follow the id formulas, junk raises (functions/media.py)."""
+    import numpy as np
+    import pytest as _pt
+
+    from scrapy_spark.functions.media import (
+        audio_params,
+        decode_audio,
+        decode_video,
+        sample_frame_indices,
+        synth_audio,
+        synth_video,
+        video_params,
+    )
+
+    for rid in (0, 1, 7, 49, 111):
+        mid = f"aud{rid:010d}"
+        data = synth_audio(mid, rid)
+        samples, rate, channels = decode_audio(data)
+        erate, ech, en = audio_params(rid)
+        assert (rate, channels, samples.shape[0]) == (erate, ech, en)
+        assert synth_audio(mid, rid) == data  # deterministic
+        vid = f"vid{rid:010d}"
+        frames, w, h, n = decode_video(synth_video(vid, rid))
+        assert (w, h, n) == video_params(rid)
+        assert frames.dtype == np.uint8 and frames.shape == (n, h, w, 3)
+    assert sample_frame_indices(10, 3) == [0, 3, 6, 9]
+    assert sample_frame_indices(1, 3) == [0]
+    with _pt.raises(ValueError):
+        decode_audio(b"JUNKxxxxxxxxxxxxxx")
+    with _pt.raises(ValueError):
+        decode_video(b"JUNKxxxxxxxxxxxxxx")
+
+
+def test_audio_video_decode_ops_and_tamper(spark):
+    """audio_decode_meta / video_frame_sample over the synthetic media
+    corpus: all rows parity-green; tampered payloads flip the flags."""
+    from scrapy_spark.datapipe.multimodal import (
+        audio_decode_meta,
+        video_frame_sample,
+    )
+    from scrapy_spark.sources.corpus import synth_media_df
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    aud = synth_media_df(ids, "audio").cache()
+    out = audio_decode_meta(aud).collect()
+    assert len(out) == 40
+    for r in out:
+        rid = int(r.media_id[3:])
+        assert r.decode_ok and r.samples_ok
+        assert r.rate == 16000 + (rid % 2) * 28100
+        assert r.channels == 1 + rid % 2
+        assert r.nsamples == 256 + (rid % 50) * 64
+
+    bad = aud.limit(1).withColumn(
+        "bytes", F.concat(F.col("bytes"), F.lit(b"\x00\x00"))
+    )
+    r = audio_decode_meta(bad).collect()[0]
+    assert not r.decode_ok and not r.samples_ok
+    aud.unpersist()
+
+    vid = synth_media_df(ids, "video").cache()
+    vout = video_frame_sample(vid, every_k=3).collect()
+    assert len(vout) == 40
+    for r in vout:
+        rid = int(r.media_id[3:])
+        assert r.decode_ok and r.frames_ok
+        assert (r.w, r.h) == (4 + rid % 9, 4 + (rid * 3) % 9)
+        assert r.nframes == 4 + rid % 13
+        assert r.n_sampled == (r.nframes - 1) // 3 + 1
+    # flip one pixel byte inside the frame payload: decode still works
+    # (header intact) but the sampled-frame parity must fail
+    one = vid.limit(1).collect()[0]
+    raw = bytes(one.bytes)
+    flipped = raw[:10] + bytes([raw[10] ^ 0x01]) + raw[11:]
+    tampered = spark.createDataFrame(
+        [(one.media_id, flipped)], "media_id string, bytes binary"
+    )
+    r = video_frame_sample(tampered, every_k=3).collect()[0]
+    assert r.decode_ok and not r.frames_ok
+    vid.unpersist()
+
+
 def test_token_count_estimate(spark):
     from scrapy_spark.datapipe.text import token_count_estimate
 

@@ -140,6 +140,8 @@ def main() -> int:
         # (mapInPandas) — assert exactly that shape and nothing worse
         ("image_decode_meta", ["MapInPandas"], list(BAD_EVERYWHERE)),
         ("image_thumbs_parity", ["MapInPandas"], list(BAD_EVERYWHERE)),
+        ("audio_decode_meta", ["MapInPandas"], list(BAD_EVERYWHERE)),
+        ("video_frame_sample", ["MapInPandas"], list(BAD_EVERYWHERE)),
         # alignment gate/histogram: JVM zip_with+aggregate fold — the whole
         # cosine must stay codegen-side, zero Python evals
         (
