@@ -38,13 +38,27 @@ COMPACT_EVERY = 8
 MAX_BASE_FILES = 64
 
 
+def _key_cols(key) -> list[str]:
+    """Normalize a mutate-table key (str or list of column names) to a
+    list — anti-joins, selects, and manifests all take the list form."""
+    return [key] if isinstance(key, str) else list(key)
+
+
 class Store:
     """Interface: read current table versions, commit an epoch atomically.
 
     ``mutate`` tables are keyed row stores committed as DELTAS — per-epoch
     (delete-keys, insert-rows) pairs resolved lazily on read as
-    ``(base ∪ inserts) LEFT ANTI deletes`` — valid because keys (frontier
-    ``seq``) are globally unique and never re-inserted after deletion.
+    ``(base ∪ inserts) LEFT ANTI deletes`` — valid because keys are never
+    re-inserted after deletion. The key may be COMPOSITE (a list of
+    columns): callers whose logical key CAN be re-inserted (url_seen's
+    ``fp`` after TTL expiry + recrawl) must delete on a generation-aware
+    composite key — ``(fp, epoch_added)`` — so a stale delete delta can
+    never match a row re-inserted later with a fresh generation
+    (the Iceberg sequence-number-scoped equality-delete analog; a bare-fp
+    delete would silently clobber every future re-insert of that fp).
+    Frontier ``seq`` keys are globally unique so the single-column form
+    stays valid there.
     This is what keeps a 10^10-row frontier commit O(popped + new_links)
     instead of a full-table rewrite per epoch (Iceberg MOR equality
     deletes; compaction every COMPACT_EVERY epochs bounds read fan-in).
@@ -127,7 +141,7 @@ class ParquetStore(Store):
         df = self.spark.read.parquet(*(entry["base"] + entry.get("ins", [])))
         if entry.get("dels"):
             dels = self.spark.read.parquet(*entry["dels"])
-            df = df.join(F.broadcast(dels), entry["key"], "left_anti")
+            df = df.join(F.broadcast(dels), _key_cols(entry["key"]), "left_anti")
         return df
 
     def _write(self, epoch: int, name: str, df: DataFrame) -> str:
@@ -150,6 +164,7 @@ class ParquetStore(Store):
            rewrite (from the caller's resolved hint when given), which
            also bounds per-read file fan-in."""
         key = entry["key"]
+        kcols = _key_cols(key)
         files = entry["base"] + entry["ins"]
         if not entry["dels"] or not files:
             return {"key": key, "base": files, "dels": [], "ins": []}
@@ -158,11 +173,11 @@ class ParquetStore(Store):
                 src = self._resolve(entry)
             return {"key": key, "base": [self._write(epoch, name, src)],
                     "dels": [], "ins": []}
-        dels = self.spark.read.parquet(*entry["dels"]).select(key).distinct()
+        dels = self.spark.read.parquet(*entry["dels"]).select(*kcols).distinct()
         hit_parts = (
             self.spark.read.parquet(*files)
-            .select(F.col(key), F.input_file_name().alias("__part"))
-            .join(F.broadcast(dels), key, "left_semi")
+            .select(*kcols, F.input_file_name().alias("__part"))
+            .join(F.broadcast(dels), kcols, "left_semi")
             .select("__part")
             .distinct()
             .collect()
@@ -177,7 +192,7 @@ class ParquetStore(Store):
         base = [f for f in files if f not in hit_dirs]
         if hit_dirs:
             survivors = self.spark.read.parquet(*sorted(hit_dirs)).join(
-                F.broadcast(dels), key, "left_anti"
+                F.broadcast(dels), kcols, "left_anti"
             )
             base.append(self._write(epoch, name, survivors))
         return {"key": key, "base": base, "dels": [], "ins": []}
@@ -270,7 +285,7 @@ class MemoryStore(Store):
             d = dels[0]
             for extra in dels[1:]:
                 d = d.unionByName(extra)
-            df = df.join(F.broadcast(d), key, "left_anti")
+            df = df.join(F.broadcast(d), _key_cols(key), "left_anti")
         return df
 
     def commit(self, epoch, replace, append, scalars, mutate=None, resolved=None) -> None:

@@ -290,8 +290,19 @@ class CrawlEngine:
                 append={"metrics": metrics_row},
                 scalars=self.store.scalars,
                 # empty inserts in the TABLE'S OWN schema (stored url_seen
-                # carries the derived bucket column on top of URL_SEEN)
-                mutate={"url_seen": ("fp", expired.select("fp"), seen.limit(0))},
+                # carries the derived bucket column on top of URL_SEEN).
+                # Delete on the GENERATION-AWARE composite key — a fp
+                # expired here may be recrawled and re-inserted later with
+                # a fresh epoch_added; a bare-fp delete delta would keep
+                # matching (and silently dropping) every such re-insert
+                # until compaction, making the URL permanently "fresh".
+                mutate={
+                    "url_seen": (
+                        ["fp", "epoch_added"],
+                        expired.select("fp", "epoch_added"),
+                        seen.limit(0),
+                    )
+                },
             )
             if isinstance(self.bloom, ShardedCuckoo):
                 self.bloom.delete_df(expired.select("fp"))
@@ -815,7 +826,31 @@ class CrawlEngine:
         if self.bloom is not None:
             # one action: the executor-side bloom absorb's treeReduce
             # doubles as the fresh-row count (no fp ever hits the driver)
-            n_fresh = self.bloom.absorb_df(fresh.select("fp"))
+            try:
+                n_fresh = self.bloom.absorb_df(fresh.select("fp"))
+            except RuntimeError:
+                # an epoch whose fresh batch exceeds the post-commit
+                # regrow's ~10% headroom over-fills the cuckoo mid-absorb
+                # (a hard error, unlike bloom's graceful FPR drift) —
+                # recover by rebuilding at 2× over committed-seen ∪ this
+                # batch instead of crashing the epoch. The partially
+                # spliced filter is discarded wholesale, so no torn state
+                # survives.
+                n_fresh = fresh.count()
+                if isinstance(self.bloom, ShardedCuckoo):
+                    from ..operators.cuckoo import build_cuckoo_from_df
+
+                    all_fps = fresh.select("fp")
+                    if url_seen is not None:
+                        all_fps = url_seen.select("fp").unionByName(all_fps)
+                    capacity = max(
+                        2 * (self.bloom.n_added + n_fresh), 1_000_000
+                    )
+                    self.bloom = build_cuckoo_from_df(
+                        all_fps, capacity=capacity
+                    )
+                else:  # pragma: no cover - bloom absorbs never raise
+                    raise
         else:
             n_fresh = fresh.count()
         n_dupes = n_filterable - n_fresh

@@ -244,3 +244,82 @@ def test_cuckoo_resume_and_expiry_on_parquet_store(spark, tmp_path):
     assert n == len(fps_after)
     store3 = ParquetStore(spark, root)
     assert store3.read("url_seen").count() == 0
+
+
+def test_absorb_failure_mid_epoch_recovers_by_rebuild(spark):
+    """An absorb_df RuntimeError mid-epoch (over-capacity kicks, or a
+    layout the splice can't absorb into) must not crash the epoch: the
+    engine catches it, rebuilds at 2× over committed-seen ∪ the batch,
+    and the crawl's stats match a bloom run exactly (the prefilter can
+    only skip work, never change results). Pre-guard, run() died with
+    RuntimeError on the first fresh batch here."""
+    import numpy as np
+
+    eng, store = _tiny_engine(spark, seen_filter="cuckoo")
+    # plant a filter whose bucket layout absorb_df cannot splice into —
+    # the first absorb with fresh rows raises, exercising the recovery
+    broken = ShardedCuckoo(capacity=4, shards=2)
+    broken.nbuckets = 128  # build_cuckoo_from_df(4, 2) yields 256
+    broken.tags = np.zeros((2, 128, ShardedCuckoo.SLOTS), dtype=np.uint16)
+    eng.bloom = broken
+    stats = eng.run(max_epochs=4)
+    got = [(s.epoch, s.popped, s.fresh, s.queued_after) for s in stats]
+
+    eng2, store2 = _tiny_engine(spark, seen_filter="bloom")
+    stats2 = eng2.run(max_epochs=4)
+    assert got == [(s.epoch, s.popped, s.fresh, s.queued_after) for s in stats2]
+    # the recovery replaced the planted filter and it tracks the seen set
+    assert eng.bloom is not broken
+    n_seen = store.read("url_seen").count()
+    assert eng.bloom.n_added == n_seen
+    assert eng.bloom.maybe_contains(
+        [bytes(r.fp) for r in store.read("url_seen").collect()]
+    ).all()
+
+
+@pytest.mark.parametrize("store_kind", ["memory", "parquet"])
+def test_expired_url_recrawled_reregisters_as_seen(spark, tmp_path, store_kind):
+    """Generation-aware expiry (the store's composite-key delete): after
+    expire_seen, a recrawled URL's fresh url_seen insert must SURVIVE the
+    stale delete deltas — with bare-fp deletes the re-insert was silently
+    anti-joined away, so the URL stayed 'fresh' forever (re-crawled every
+    epoch, double-inserted into the cuckoo)."""
+    from scrapy_spark.config import CrawlConfig
+    from scrapy_spark.sources.fixtures import gen_crawl_fixture
+    from scrapy_spark.sources.store import MemoryStore, ParquetStore
+    from scrapy_spark.streaming.engine import CrawlEngine
+
+    fix = gen_crawl_fixture("tiny", seed=7, with_payload=False)
+    cfg = CrawlConfig(
+        epoch_budget=64,
+        max_epochs=8,
+        allowed_domains=("example",),
+        depth_limit=3,
+        seen_filter="cuckoo",
+    )
+    store = (
+        MemoryStore(spark)
+        if store_kind == "memory"
+        else ParquetStore(spark, str(tmp_path / "re"))
+    )
+    eng = CrawlEngine.from_fixture(spark, cfg, store, fix)
+    eng.run(max_epochs=2)
+    first_fps = {bytes(r.fp) for r in store.read("url_seen").collect()}
+    assert first_fps
+    assert eng.expire_seen(10**9) == len(first_fps)
+    assert store.read("url_seen").count() == 0
+
+    # continue the crawl: queued frontier rows link back to already-crawled
+    # URLs, which now dedupe as fresh and are re-crawled → re-inserted
+    stats = eng.run(max_epochs=2)
+    fresh_after = sum(s.fresh for s in stats)
+    rows = store.read("url_seen").collect()
+    fps_now = [bytes(r.fp) for r in rows]
+    # the re-inserts are readable (stale deltas must not match them) ...
+    assert len(fps_now) == fresh_after > 0
+    # ... unique (no fresh-forever double-insert loop) ...
+    assert len(fps_now) == len(set(fps_now))
+    # ... include genuinely re-crawled URLs, and the prefilter agrees
+    assert set(fps_now) & first_fps
+    assert eng.bloom.n_added == len(fps_now)
+    assert eng.bloom.maybe_contains(fps_now).all()

@@ -155,3 +155,54 @@ def test_append_after_mor_promotion(spark, tmp_path, store_kind):
     if store_kind == "parquet":
         reopened = ParquetStore(spark, str(tmp_path / "am"))
         assert _rows(reopened.read("t")) == [(0, "v0"), (2, "v2"), (3, "v3")]
+
+
+@pytest.mark.parametrize("store_kind", ["memory", "parquet"])
+def test_composite_key_reinsert_survives_stale_delete(
+    spark, tmp_path, store_kind, monkeypatch
+):
+    """Generation-aware deletes (the url_seen TTL-expiry lifecycle): a key
+    deleted on the composite (fp, gen) and later RE-inserted with a fresh
+    gen must survive both merge-on-read resolution AND compaction — the
+    stale delete delta may only match the generation it named. A bare-fp
+    delete clobbered the re-insert (an expired-then-recrawled URL stayed
+    'fresh' forever); this pins the fix."""
+    monkeypatch.setattr(store_mod, "COMPACT_EVERY", 3)
+    store = (
+        MemoryStore(spark)
+        if store_kind == "memory"
+        else ParquetStore(spark, str(tmp_path / "gen"))
+    )
+    schema = "fp string, gen long"
+    key = ["fp", "gen"]
+    base = spark.createDataFrame([("X", 0), ("Y", 0)], schema)
+    store.commit(0, replace={"t": base}, append={}, scalars={})
+    empty = base.limit(0)
+
+    def rows():
+        return sorted((r.fp, r.gen) for r in store.read("t").collect())
+
+    # expire X@0 — composite delete
+    d1 = spark.createDataFrame([("X", 0)], schema)
+    store.commit(1, replace={}, append={}, scalars={}, mutate={"t": (key, d1, empty)})
+    assert rows() == [("Y", 0)]
+    # X recrawled at gen 2: re-insert via the append path (the engine's
+    # seen_append) — the stale ("X", 0) delete must NOT match it
+    re_ins = spark.createDataFrame([("X", 2)], schema)
+    store.commit(2, replace={}, append={"t": re_ins}, scalars={})
+    assert rows() == [("X", 2), ("Y", 0)]
+    # further mutate epochs drive past COMPACT_EVERY → compaction must
+    # keep the re-inserted generation too (the old bug dropped it here
+    # permanently)
+    d2 = spark.createDataFrame([("Y", 0)], schema)
+    store.commit(3, replace={}, append={}, scalars={}, mutate={"t": (key, d2, empty)})
+    d3 = spark.createDataFrame([("Z", 9)], schema)  # no-op delete
+    store.commit(4, replace={}, append={}, scalars={}, mutate={"t": (key, d3, empty)})
+    assert rows() == [("X", 2)]
+    if store_kind == "parquet":
+        entry = store._manifest["tables"]["t"]
+        assert entry["dels"] == []  # compaction actually ran
+        reopened = ParquetStore(spark, str(tmp_path / "gen"))
+        assert sorted(
+            (r.fp, r.gen) for r in reopened.read("t").collect()
+        ) == [("X", 2)]
