@@ -118,7 +118,19 @@ def q_robots_broadcast_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            # exact decimal sum (order-independent) instead of
+            # round(avg(double)): float partial-agg order flips the last
+            # rounded digit between engines/parallelism levels (the r4
+            # latency_ema_inputs flake). sum+count carry the same info.
+            # Scale 2 (the columns are 2-decimal money values): keeps the
+            # sum's unscaled int below 2^53, where DuckDB's int128→double
+            # is exact and its /10^scale correctly rounded — at scale 10
+            # DuckDB lands one ulp off Spark/BigDecimal. Cross-engine
+            # decimal RESCALING is also out: Spark rounds HALF_UP, DuckDB
+            # truncates; scale-2 casts of ~X.XX±1e-9 doubles never round.
+            F.sum(F.col("c_acctbal").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
         )
     )
 
@@ -183,8 +195,14 @@ def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # exact decimal sums, not round(avg(double)) — see
+            # q_robots_broadcast_gate for the order-dependence rationale
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.sum(F.col("l_discount").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("sum_disc"),
         )
     )
 
@@ -231,11 +249,19 @@ def q_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_latency_ema_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 AutoThrottle per-slot latency aggregate (avg latency feeding the
-    delay update; ref: extensions/throttle.py::_adjust_delay ≈L55)."""
+    """A6 AutoThrottle per-slot latency aggregate (the sum/count pair
+    feeding the delay update's mean latency; ref:
+    extensions/throttle.py::_adjust_delay ≈L55). Emits the EXACT decimal
+    sum (cast to double) rather than round(avg(double)): float summation
+    is order-dependent, and the r4 contract run caught a half-ulp flip at
+    a round(…,4) boundary between Spark's local[32] partial-agg order and
+    DuckDB's — the decimal sum is the same exact value in both engines at
+    any parallelism."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.round(F.avg("value"), 4).alias("avg_latency"),
+        F.sum(F.col("value").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("sum_latency"),
         F.count(F.lit(1)).alias("n_samples"),
     )
 
@@ -1111,8 +1137,9 @@ def _aspect_buckets_oracle_sql() -> str:
             WITH {_corpus_meta_oracle_cte()}
             SELECT {expr} AS bucket,
                    count(*) AS n,
-                   round(avg(CAST(w AS DOUBLE)/CAST(h AS DOUBLE)), 4)
-                     AS avg_aspect,
+                   CAST(sum(CAST(CAST(w AS DOUBLE)/CAST(h AS DOUBLE)
+                                 AS DECIMAL(30,10))) AS DOUBLE)
+                     AS sum_aspect,
                    CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes
             FROM meta
             GROUP BY 1 ORDER BY 1
@@ -1264,7 +1291,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "robots_broadcast_gate": """
             SELECT r_name, count(*) AS n_customers,
-                   round(avg(c_acctbal), 4) AS avg_acctbal
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+                     AS sum_acctbal
             FROM customer c
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -1296,8 +1324,10 @@ def oracle_sql() -> dict[str, str]:
         "stats_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-                   round(avg(l_extendedprice), 2) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+                     AS sum_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE)
+                     AS sum_disc
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "topk_orders": """
@@ -1319,7 +1349,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "latency_ema_inputs": """
-            SELECT user_id, round(avg(value), 4) AS avg_latency,
+            SELECT user_id,
+                   CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE)
+                     AS sum_latency,
                    count(*) AS n_samples
             FROM events GROUP BY user_id
         """,

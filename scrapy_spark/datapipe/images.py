@@ -237,9 +237,19 @@ def aspect_bucket_stats(
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.avg(F.col(w_col).cast("double") / F.col(h_col)), 4
-            ).alias("avg_aspect"),
+            # exact decimal sum of the per-row ratios, not
+            # round(avg(double)): the per-row w/h double is deterministic,
+            # but float SUMMATION is partial-agg-order-dependent and can
+            # flip the last rounded digit between parallelism levels (the
+            # r4 latency_ema_inputs contract flake). sum+n carries the
+            # mean; decimal→double of the same exact value is bit-stable.
+            F.sum(
+                (F.col(w_col).cast("double") / F.col(h_col)).cast(
+                    "decimal(30,10)"
+                )
+            )
+            .cast("double")
+            .alias("sum_aspect"),
             F.sum(F.length("bytes")).alias("total_bytes"),
         )
         .orderBy("bucket")

@@ -5,6 +5,15 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and, where an
 parquet; compares row count, column names, and an order-insensitive
 value comparison (rows sorted by all columns after sorting columns by
 name). Usage:  python tools/check_contract.py [sf_dir] [query ...]
+
+Env: ``CONTRACT_MASTER`` / ``CONTRACT_SHUFFLE`` override the Spark master
+and shuffle-partition count. The r4 driver run caught a flake that ONLY
+reproduced at local[32]/200 partitions (float partial-agg order flipped a
+round(…,4) digit), so run BOTH gates before shipping contract changes:
+
+    python tools/check_contract.py                       # local[8]/8
+    CONTRACT_MASTER='local[32]' CONTRACT_SHUFFLE=200 \\
+        python tools/check_contract.py                   # driver-like
 """
 
 from __future__ import annotations
@@ -70,10 +79,15 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from pyspark.sql import SparkSession
 
+    import os
+
+    master = os.environ.get("CONTRACT_MASTER", "local[8]")
+    shuffle = os.environ.get("CONTRACT_SHUFFLE", "8")
+    print(f"[gate] master={master} shuffle.partitions={shuffle} sf_dir={sf_dir}")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(master)
         .appName("contract-check")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
