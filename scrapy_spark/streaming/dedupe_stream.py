@@ -43,7 +43,15 @@ def items_stream(
         .option("recursiveFileLookup", "true")
         .parquet(f"{store_root}/data/items")
     )
-    return raw.withColumn("digest", F.md5(F.col("bytes"))).withColumn(
+    # bytes is nullable (payload-less crawls run with_payload=False) and
+    # dropDuplicatesWithinWatermark treats NULL keys as EQUAL — an md5
+    # that passes NULL through would silently collapse every payload-less
+    # item after the first. Fall back to the fp (itself content-derived
+    # and unique per item) so such rows keep distinct digests.
+    digest = F.when(
+        F.col("bytes").isNotNull(), F.md5(F.col("bytes"))
+    ).otherwise(F.concat(F.lit("fp:"), F.hex(F.col("fp"))))
+    return raw.withColumn("digest", digest).withColumn(
         "event_ts",
         F.timestamp_millis(F.col("epoch").cast("long") * epoch_quantum_ms),
     )

@@ -65,3 +65,33 @@ def test_streaming_dedup_matches_batch_exact_dedup(spark, items_root):
     assert {r.digest for r in out.collect()} == {
         r.digest for r in batch.collect()
     }
+
+
+def test_payloadless_items_are_not_collapsed(spark, tmp_path):
+    """bytes is nullable (with_payload=False crawls) and
+    dropDuplicatesWithinWatermark treats NULL keys as EQUAL — the digest
+    must fall back to the per-item fp so distinct payload-less items all
+    survive (the md5(NULL)=NULL form silently dropped every one after
+    the first)."""
+    root = str(tmp_path / "store")
+    rows = [
+        ("a", None, 4, 4, "rawrgb", "cap a", 0, b"fp-a", 0),
+        ("b", None, 4, 4, "rawrgb", "cap b", 0, b"fp-b", 0),
+        ("c", None, 4, 4, "rawrgb", "cap c", 0, b"fp-c", 0),
+        # a true payload dup pair still collapses
+        ("d", b"\x01\x02", 4, 4, "rawrgb", "cap d", 0, b"fp-d", 0),
+        ("d2", b"\x01\x02", 4, 4, "rawrgb", "cap d2", 0, b"fp-d2", 0),
+        # and a re-sighted fp (payload-less retry) collapses too
+        ("a2", None, 4, 4, "rawrgb", "cap a2", 0, b"fp-a", 0),
+    ]
+    spark.createDataFrame(rows, schemas.ITEMS).coalesce(1).write.parquet(
+        f"{root}/data/items/e0"
+    )
+    out = run_dedup_once(
+        spark, root, table_name="t_dedup_null", watermark_s=3600
+    )
+    got = out.collect()
+    assert len(got) == 4  # a-pair and d-pair collapse; b, c survive
+    nulls = {r.image_id for r in got if r.bytes is None}
+    assert len(nulls & {"a", "a2"}) == 1 and {"b", "c"} <= nulls
+    assert all(r.digest is not None for r in got)
