@@ -226,12 +226,14 @@ class ShardedCuckoo:
         fingerprint), which then mutates its tag arrays in place —
         deletion is inherently an owner-side op; on a cluster each
         executor deletes from its own shards."""
-        sizing = (self.capacity, self.shards)
+        # capture ONLY the sizing ints — touching `self` inside the
+        # closure would pickle the whole filter (shards × nbuckets × 4
+        # uint16 tags) into every task, defeating the quads-only design
+        sizing = (self.capacity, self.shards, self.nbuckets)
 
         def derive_quads(rows):
             local = ShardedCuckoo.__new__(ShardedCuckoo)
-            local.capacity, local.shards = sizing
-            local.nbuckets = self.nbuckets
+            local.capacity, local.shards, local.nbuckets = sizing
             fps = [bytes(r[0]) for r in rows]
             if fps:
                 s, t, a, b = local._derive(local._fp_matrix(fps))

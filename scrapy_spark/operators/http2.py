@@ -18,8 +18,9 @@ RST_STREAM / GOAWAY error surfacing, odd-stream allocation under the
 server's MAX_CONCURRENT_STREAMS. Not implemented (documented): TLS/ALPN
 upgrade (h2c prior-knowledge only — in-sandbox there is no CA/TLS peer),
 request bodies (the crawler only GETs), PUSH_PROMISE (disabled via
-SETTINGS_ENABLE_PUSH=0), priorities, and HPACK Huffman strings
-(functions/hpack.py seam).
+SETTINGS_ENABLE_PUSH=0) and priorities. HPACK Huffman strings are fully
+supported (functions/hpack.py, RFC 7541 §5.2 + Appendix B) — both peers
+here emit Huffman-coded literals by default, as real servers do.
 
 The engine reaches this through ``CrawlConfig.transport="h2c"`` →
 ``netfetch._fetch_one`` dispatch; responses come back in the exact

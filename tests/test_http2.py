@@ -53,11 +53,62 @@ def test_hpack_eviction_keeps_decoding_correct():
         assert dec.decode(enc.encode(hs)) == hs
 
 
-def test_hpack_rejects_huffman_strings():
-    # literal never-indexed with H=1 on the name string
-    block = bytes([0x10, 0x81, 0xFF])
-    with pytest.raises(NotImplementedError):
-        Decoder().decode(block)
+def test_hpack_huffman_rfc_vectors():
+    """RFC 7541 Appendix C.4/C.6 Huffman strings, both directions."""
+    from scrapy_spark.functions.hpack import huffman_decode, huffman_encode
+
+    vectors = [
+        ("www.example.com", "f1e3c2e5f23a6ba0ab90f4ff"),
+        ("no-cache", "a8eb10649cbf"),
+        ("custom-key", "25a849e95ba97d7f"),
+        ("custom-value", "25a849e95bb8e8b4bf"),
+        ("302", "6402"),
+        ("private", "aec3771a4b"),
+        ("Mon, 21 Oct 2013 20:13:21 GMT",
+         "d07abe941054d444a8200595040b8166e082a62d1bff"),
+        ("https://www.example.com", "9d29ad171863c78f0b97c8e9ae82ae43d3"),
+        ("gzip", "9bd9ab"),
+        ("foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1",
+         "94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1ab270fb5291f9587"
+         "316065c003ed4ee5b1063d5007"),
+    ]
+    for s, hexs in vectors:
+        assert huffman_encode(s.encode()).hex() == hexs
+        assert huffman_decode(bytes.fromhex(hexs)) == s.encode()
+    every = bytes(range(256))
+    assert huffman_decode(huffman_encode(every)) == every
+
+
+def test_hpack_huffman_malformed_padding_rejected():
+    from scrapy_spark.functions.hpack import huffman_decode
+
+    # 0xFF alone: 8 bits of padding (>7) — must be rejected per §5.2
+    with pytest.raises(ValueError):
+        huffman_decode(b"\xff")
+    # 'a' is the 5-bit code 00011 + 3 pad bits; 0x1e pads with 110,
+    # which is not the all-ones EOS prefix
+    assert huffman_decode(b"\x1f") == b"a"
+    with pytest.raises(ValueError):
+        huffman_decode(b"\x1e")
+    # explicit EOS symbol inside the string (30 bits of 1s + pad)
+    with pytest.raises(ValueError):
+        huffman_decode(b"\xff\xff\xff\xff")
+
+
+def test_hpack_decodes_huffman_coded_fields():
+    """A full header block with H=1 strings (what real servers emit)
+    decodes identically to the plain coding, including dynamic-table
+    effects; plain-only encoders interoperate unchanged."""
+    enc_h = Encoder(huffman=True)
+    enc_p = Encoder(huffman=False)
+    headers = [(":status", "200"), ("x-custom", "hello world"),
+               ("server", "h2test/1.0")]
+    bh, bp = enc_h.encode(headers), enc_p.encode(headers)
+    assert bh != bp and len(bh) < len(bp)
+    assert Decoder().decode(bh) == headers
+    assert Decoder().decode(bp) == headers
+    # second block: both sides now fully indexed, identical bytes
+    assert enc_h.encode(headers) == enc_p.encode(headers)
 
 
 def test_hpack_encoder_resize_emits_size_update():
