@@ -49,6 +49,23 @@ class CrawlConfig:
     # (upstream sets the 'dataloss' response flag instead)
     download_fail_on_dataloss: bool = True
     user_agent: str = "scrapy-spark/2.0"  # USER_AGENT
+    # TLS trust root for https fetches: path to a PEM CA bundle, None =
+    # the system store (ref: upstream's DOWNLOADER_CLIENTCONTEXTFACTORY /
+    # Twisted trust root, handlers/http11.py ≈L40). Verification is
+    # always ON — a failed handshake surfaces as an error row, retried
+    # like any transport error.
+    tls_ca_file: str | None = None
+    # HTTP proxy for h1 fetches (ref: downloadermiddlewares/httpproxy.py
+    # ≈L20): explicit setting wins; per-request meta['proxy'] overrides;
+    # None falls back to the http_proxy/https_proxy environment like
+    # upstream's getproxies(). "" disables env lookup entirely.
+    http_proxy: str | None = None
+    # Basic auth (ref: downloadermiddlewares/httpauth.py ≈L15): upstream
+    # reads spider.http_user/http_pass and ONLY sends the header to
+    # http_auth_domain (and subdomains) to avoid credential leaks.
+    http_user: str | None = None
+    http_pass: str | None = None
+    http_auth_domain: str | None = None
 
     # --- link extraction regions (F8; ref: linkextractors/lxmlhtml.py
     # restrict_xpaths/restrict_css ≈L150). Applied on the http backend's
@@ -174,7 +191,11 @@ class CrawlConfig:
     bloom_enabled: bool = True
     # seen-set probe structure: "bloom" (default; OR-mergeable bit arrays)
     # or "cuckoo" (operators/cuckoo.py — supports per-key DELETION for
-    # recrawl/expiry policies, lower FPR at similar space). "none" or
+    # recrawl/expiry policies, lower FPR at similar space), or
+    # "cuckoo-disk" (operators/diskfilter.py — EXECUTOR-RESIDENT shards
+    # on shared storage, probe/absorb/delete shard-owner-side, driver
+    # holds only the manifest: the 10^10-key design point where a whole-
+    # filter broadcast would be ~GBs per epoch). "none" or
     # bloom_enabled=False disables the prefilter; the exact anti-join is
     # always the correctness bar either way.
     seen_filter: str = "bloom"

@@ -32,6 +32,7 @@ the thread pool is the natural async substrate for latency-bound I/O
 from __future__ import annotations
 
 import concurrent.futures as cf
+import ssl
 import threading
 import time
 import urllib.error
@@ -70,23 +71,71 @@ class _NoRedirect(urllib.request.HTTPRedirectHandler):
         return None
 
 
+#: per-worker cache of verified-TLS contexts keyed by CA-bundle path
+#: (None = system trust store); building a context loads and parses the
+#: bundle, so do it once per worker, not once per request
+_SSL_CTX: dict[str | None, ssl.SSLContext] = {}
+_SSL_CTX_LOCK = threading.Lock()
+
+
+def _ssl_context(ca_file: str | None) -> ssl.SSLContext:
+    with _SSL_CTX_LOCK:
+        ctx = _SSL_CTX.get(ca_file)
+        if ctx is None:
+            # create_default_context = verification ON (CERT_REQUIRED +
+            # hostname check) — a handshake against an untrusted peer
+            # fails into the error row, never a silent insecure fetch
+            ctx = ssl.create_default_context(cafile=ca_file)
+            _SSL_CTX[ca_file] = ctx
+    return ctx
+
+
 def _fetch_one(
     url: str,
     timeout_s: float,
     maxsize: int,
     user_agent: str,
     extra_headers: dict | None = None,
+    ca_file: str | None = None,
+    proxy: str | None = None,
 ) -> tuple[int, bytes, dict, list, bool, str | None]:
     """→ (status, body, headers, set_cookie, truncated, error). Never
     raises. ``extra_headers`` carries per-request headers the middleware
     chain attached (Referer under REFERRER_POLICY, Cookie from the slot
-    jar). ``set_cookie`` is the FULL list of Set-Cookie header lines —
-    a plain dict would collapse the (legal, common) duplicates."""
-    headers = {"User-Agent": user_agent, "Accept-Encoding": "gzip, deflate"}
+    jar, Authorization from HttpAuth). ``set_cookie`` is the FULL list of
+    Set-Cookie header lines — a plain dict would collapse the (legal,
+    common) duplicates.
+
+    ``ca_file``: PEM CA bundle for https verification (None = system
+    store). ``proxy``: None = environment proxies (upstream
+    HttpProxyMiddleware's getproxies() fallback), "" = proxies disabled,
+    else the proxy URL for both schemes (meta['proxy'] analog)."""
+    if url.startswith("ftp://"):
+        # per-scheme handler dispatch (S4, ref handlers/__init__.py
+        # ≈L20): ftp rows ride the same thread pool / fetch_log path
+        from .handlers import ftp_fetch_one
+
+        status, body, truncated, error = ftp_fetch_one(url, timeout_s, maxsize)
+        return status, body, {}, [], truncated, error
+    from ..functions.http import accept_encoding_header
+
+    headers = {"User-Agent": user_agent,
+               "Accept-Encoding": accept_encoding_header()}
     if extra_headers:
         headers.update(extra_headers)
     req = urllib.request.Request(url, headers=headers)
-    opener = urllib.request.build_opener(_NoRedirect)
+    handlers: list = [_NoRedirect()]
+    if url.startswith("https:") or (proxy or "").startswith("https:"):
+        handlers.append(
+            urllib.request.HTTPSHandler(context=_ssl_context(ca_file))
+        )
+    if proxy is not None:
+        handlers.append(
+            urllib.request.ProxyHandler(
+                {"http": proxy, "https": proxy} if proxy else {}
+            )
+        )
+    opener = urllib.request.build_opener(*handlers)
     try:
         with opener.open(req, timeout=timeout_s) as resp:
             body = resp.read(maxsize + 1)
@@ -124,7 +173,10 @@ def _fetch_one_h2(
             from .http2 import H2Pool
 
             _H2_POOL = H2Pool(timeout_s)
-    headers = {"user-agent": user_agent, "accept-encoding": "gzip, deflate"}
+    from ..functions.http import accept_encoding_header
+
+    headers = {"user-agent": user_agent,
+               "accept-encoding": accept_encoding_header()}
     if extra_headers:
         headers.update({k.lower(): v for k, v in extra_headers.items()})
     return _H2_POOL.fetch(url, headers, maxsize)
@@ -143,6 +195,9 @@ def http_fetch(
     headers_col: str | None = None,
     key_col: str = "fp",
     transport: str = "h1",
+    ca_file: str | None = None,
+    proxy: str | None = None,
+    proxy_col: str | None = None,
 ) -> DataFrame:
     """Fetch every row's URL; returns FETCH_SCHEMA rows 1:1 with input.
 
@@ -159,7 +214,12 @@ def http_fetch(
 
     ``transport``: "h1" (thread-pooled stdlib HTTP/1.1, default) or
     "h2c" (S3: one multiplexed HTTP/2 cleartext connection per
-    authority — operators/http2.py)."""
+    authority — operators/http2.py).
+
+    ``ca_file``/``proxy`` follow ``_fetch_one``'s semantics (h1 only —
+    the h2c transport is cleartext prior-knowledge, no TLS or CONNECT
+    tunneling); ``proxy_col`` names an optional per-request proxy-URL
+    column (meta['proxy'] analog) that overrides ``proxy``."""
     if repartition_by_slot:
         requests = requests.repartition(F.col(slot_col))
     sel = [
@@ -169,6 +229,8 @@ def http_fetch(
     ]
     if headers_col is not None:
         sel.append(F.col(headers_col).alias("__hdrs"))
+    if proxy_col is not None:
+        sel.append(F.col(proxy_col).alias("__proxy"))
     cols = requests.select(*sel)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -176,18 +238,28 @@ def http_fetch(
             lambda: threading.Semaphore(concurrent_per_slot)
         )
 
-        def work(fp, url, slot, extra):
+        def work(fp, url, slot, extra, row_proxy):
             # Arrow maps arrive as list-of-(k,v)-tuples; null rows as
             # None/NaN — normalize to dict | None
             if extra is not None and not isinstance(extra, dict):
                 extra = dict(extra) if not isinstance(extra, float) else None
+            if not isinstance(row_proxy, str):
+                row_proxy = None  # NaN / None → fall back to batch proxy
             sem = sems[slot]
-            fetch_fn = _fetch_one_h2 if transport == "h2c" else _fetch_one
             with sem:
                 t0 = time.monotonic()
-                status, body, headers, set_cookie, truncated, error = fetch_fn(
-                    url, timeout_s, maxsize, user_agent, extra
-                )
+                if transport == "h2c":
+                    status, body, headers, set_cookie, truncated, error = (
+                        _fetch_one_h2(url, timeout_s, maxsize, user_agent, extra)
+                    )
+                else:
+                    status, body, headers, set_cookie, truncated, error = (
+                        _fetch_one(
+                            url, timeout_s, maxsize, user_agent, extra,
+                            ca_file=ca_file,
+                            proxy=row_proxy if row_proxy is not None else proxy,
+                        )
+                    )
                 latency = int((time.monotonic() - t0) * 1000)
             lower = {k.lower(): v for k, v in headers.items()}
             return (
@@ -212,10 +284,16 @@ def http_fetch(
                     if "__hdrs" in pdf.columns
                     else [None] * len(pdf)
                 )
+                proxy_list = (
+                    pdf["__proxy"].tolist()
+                    if "__proxy" in pdf.columns
+                    else [None] * len(pdf)
+                )
                 futs = [
-                    pool.submit(work, bytes(fp), url, slot, hdrs)
-                    for fp, url, slot, hdrs in zip(
-                        pdf["fp"], pdf["url"], pdf["slot"], hdr_lists
+                    pool.submit(work, bytes(fp), url, slot, hdrs, prx)
+                    for fp, url, slot, hdrs, prx in zip(
+                        pdf["fp"], pdf["url"], pdf["slot"], hdr_lists,
+                        proxy_list,
                     )
                 ]
                 rows = [f.result() for f in futs]
@@ -266,12 +344,33 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
     Per-request headers: the frontier's ``referer`` column (U3, applied
     by the engine under REFERRER_POLICY) is sent as the Referer header;
     an optional ``cookie_header`` column (per-slot jar fold, cookies
-    middleware) as Cookie."""
+    middleware) as Cookie; basic-auth Authorization when cfg.http_user
+    is set, gated to cfg.http_auth_domain and its subdomains exactly as
+    upstream HttpAuthMiddleware (credentials never leak to other hosts;
+    a None auth-domain sends everywhere — the documented legacy mode).
+    Proxy routing (HttpProxyMiddleware): per-request meta['proxy'] wins,
+    then cfg.http_proxy, then the environment (None)."""
     hdr_pairs = []
     if "referer" in to_fetch.columns:
         hdr_pairs.append(("Referer", F.col("referer")))
     if "cookie_header" in to_fetch.columns:
         hdr_pairs.append(("Cookie", F.col("cookie_header")))
+    if getattr(cfg, "http_user", None):
+        import base64
+
+        cred = base64.b64encode(
+            f"{cfg.http_user}:{cfg.http_pass or ''}".encode()
+        ).decode()
+        auth_domain = getattr(cfg, "http_auth_domain", None)
+        in_scope = (
+            (F.col("domain") == F.lit(auth_domain))
+            | F.col("domain").endswith(f".{auth_domain}")
+            if auth_domain
+            else F.lit(True)
+        )
+        hdr_pairs.append(
+            ("Authorization", F.when(in_scope, F.lit(f"Basic {cred}")))
+        )
     headers_col = None
     if hdr_pairs:
         # map of the non-null headers only (map_filter drops null values)
@@ -292,6 +391,14 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
     to_fetch = to_fetch.withColumn(
         "__key", F.encode(F.col("seq").cast("string"), "UTF-8")
     )
+    proxy_col = None
+    if "meta_json" in to_fetch.columns:
+        from ..functions.meta import meta_get
+
+        to_fetch = to_fetch.withColumn(
+            "__meta_proxy", meta_get(F.col("meta_json"), "proxy")
+        )
+        proxy_col = "__meta_proxy"
     raw = http_fetch(
         to_fetch,
         concurrent_per_slot=cfg.concurrent_per_domain,
@@ -301,6 +408,9 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
         headers_col=headers_col,
         key_col="__key",
         transport=cfg.transport,
+        ca_file=getattr(cfg, "tls_ca_file", None),
+        proxy=getattr(cfg, "http_proxy", None),
+        proxy_col=proxy_col,
     ).select(
         F.col("fp").alias("__key"), "status", "body", "content_type",
         "content_encoding", "location", "set_cookie", "latency_ms",
@@ -309,7 +419,7 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
     # the frontier's own `status` column ('QUEUED') is superseded by the
     # HTTP status, exactly as synthetic_fetch overwrites it
     joined = (
-        to_fetch.drop("status", "__req_headers")
+        to_fetch.drop("status", "__req_headers", "__meta_proxy")
         .join(raw, "__key")
         .drop("__key")
     )
@@ -380,6 +490,8 @@ def fetch_robots(new_domain_urls: DataFrame, cfg) -> DataFrame:
         maxsize=cfg.download_maxsize,
         user_agent=cfg.user_agent,
         transport=cfg.transport,
+        ca_file=getattr(cfg, "tls_ca_file", None),
+        proxy=getattr(cfg, "http_proxy", None),
     )
     return raw.select(
         F.col("slot").alias("domain"),
