@@ -14,6 +14,10 @@ from the URL routes each popped row to its handler stage.
 - ``data``          → fully local decode, implemented HERE as a real
   vectorized handler (ref datauri.py ≈L15): payload comes out of the URL
   itself, status 200, zero latency — no network even on a real cluster.
+- ``ftp``           → ``ftp_fetch_one`` (ref ftp.py ≈L40): ftplib RETR
+  inside the same netfetch thread pool as http — ``_fetch_one``
+  dispatches on the scheme, so ftp URLs flow through ``http_fetch`` and
+  the engine's fetch_log like any other request.
 """
 
 from __future__ import annotations
@@ -82,6 +86,42 @@ def data_uri_udf(urls: pd.Series) -> pd.DataFrame:
         payload, mime = decode_data_uri(u or "")
         rows.append((payload, mime, 200 if payload is not None else 400))
     return pd.DataFrame(rows, columns=["bytes", "mime", "status"])
+
+
+def ftp_fetch_one(
+    url: str, timeout_s: float, maxsize: int
+) -> tuple[int, bytes, bool, str | None]:
+    """FTP download handler (ref: handlers/ftp.py ≈L40): RETR the path of
+    an ``ftp://[user[:pass]@]host[:port]/path`` URL. → (status, body,
+    truncated, error). Status mapping mirrors upstream's
+    CODE_MAPPING: permanent-error 550 (no such file) → 404, other
+    permanent errors → 403-class response rows; transport failures →
+    status 0 error rows (retryable), exactly like the http path. The
+    body is capped at ``maxsize`` after transfer — FTP has no range
+    header, and the callback API cannot abort mid-RETR cleanly."""
+    import ftplib
+    import io
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(url)
+    try:
+        ftp = ftplib.FTP()
+        ftp.connect(p.hostname or "", p.port or 21, timeout=timeout_s)
+        ftp.login(unquote(p.username or "anonymous"), unquote(p.password or ""))
+        buf = io.BytesIO()
+        ftp.retrbinary(f"RETR {unquote(p.path) or '/'}", buf.write)
+        try:
+            ftp.quit()
+        except Exception:  # noqa: BLE001 — transfer done; QUIT is courtesy
+            ftp.close()
+        body = buf.getvalue()
+        return 200, body[:maxsize], len(body) > maxsize, None
+    except ftplib.error_perm as e:
+        code = str(e)[:3]
+        status = 404 if code == "550" else 403
+        return status, str(e).encode(), False, None
+    except Exception as e:  # noqa: BLE001 — conn/timeout → retryable row
+        return 0, b"", False, f"{type(e).__name__}: {e}"
 
 
 def fetch_data_uris(popped: DataFrame, epoch_ts: int) -> DataFrame:
