@@ -39,6 +39,26 @@ try:  # optional, like the reference's brotli support
 except ImportError:  # pragma: no cover
     _HAS_BROTLI = False
 
+try:  # optional, like the reference's zstandard support (2.x advertises
+    # and decodes zstd only when the package is importable)
+    import zstandard  # type: ignore
+
+    _HAS_ZSTD = True
+except ImportError:  # pragma: no cover
+    _HAS_ZSTD = False
+
+
+def accept_encoding_header() -> str:
+    """The Accept-Encoding value the fetch path should advertise: stdlib
+    codings always, br/zstd only when their decoder is importable (ref:
+    httpcompression.py ≈L30 — ACCEPTED_ENCODINGS is built the same way)."""
+    encs = ["gzip", "deflate"]
+    if _HAS_BROTLI:
+        encs.append("br")
+    if _HAS_ZSTD:
+        encs.append("zstd")
+    return ", ".join(encs)
+
 # ------------------------------------------------------------------ C3 url
 _DEFAULT_PORTS = {("http", 80), ("https", 443), ("ftp", 21)}
 
@@ -228,9 +248,9 @@ def _inflate(data: bytes) -> bytes:
 def decode_content(body: bytes, content_encoding: str | list[str] | None) -> bytes:
     """Apply the Content-Encoding chain in reverse order (last encoding
     applied first), exactly like HttpCompressionMiddleware.process_response.
-    Unknown/'identity' codings pass through; brotli requires the optional
-    dep and raises NotImplementedError without it (import-gated, like the
-    reference's optional brotli support)."""
+    Unknown/'identity' codings pass through; brotli and zstd require
+    their optional dep and raise NotImplementedError without it
+    (import-gated, like the reference's optional br/zstd support)."""
     if not content_encoding:
         return body
     chain = (
@@ -252,6 +272,17 @@ def decode_content(body: bytes, content_encoding: str | list[str] | None) -> byt
                     "package (absent in this container)"
                 )
             body = brotli.decompress(body)
+        elif coding == "zstd":
+            if not _HAS_ZSTD:
+                raise NotImplementedError(
+                    "zstd Content-Encoding needs the optional 'zstandard' "
+                    "package (absent in this container)"
+                )
+            # stream decompress: zstd frames commonly omit the decoded
+            # size, which the one-shot decompress() API refuses
+            body = zstandard.ZstdDecompressor().stream_reader(
+                io.BytesIO(body)
+            ).read()
         # unknown codings pass through untouched (the middleware keeps the
         # body and lets the spider deal with it)
     return body
@@ -268,6 +299,7 @@ def decode_response_text(
 
 
 __all__ = [
+    "accept_encoding_header",
     "add_or_replace_parameter",
     "escape_ajax",
     "strip_url",

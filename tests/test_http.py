@@ -154,3 +154,40 @@ def test_full_response_pipeline():
     body = gzip.compress(html)
     text = decode_response_text(body, "text/html", "gzip")
     assert 'href="/x"' in text and "é" in text
+
+
+def test_zstd_gated_and_roundtrip():
+    """zstd Content-Encoding (ref: httpcompression.py ≈L40): decoded when
+    the optional 'zstandard' package is importable, NotImplementedError
+    otherwise — never a silent wrong body."""
+    try:
+        import zstandard
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_content(b"xx", "zstd")
+        pytest.skip("zstandard not installed in this container")
+    raw = b"zstd-coded payload " * 64
+    # one-shot frame (carries decoded size) AND a streamed frame (size
+    # unknown — the case the stream_reader path exists for)
+    assert decode_content(zstandard.ZstdCompressor().compress(raw), "zstd") == raw
+    import io as _io
+
+    buf = _io.BytesIO()
+    with zstandard.ZstdCompressor().stream_writer(buf, closefd=False) as w:
+        w.write(raw)
+    assert decode_content(buf.getvalue(), "zstd") == raw
+
+
+def test_accept_encoding_advertises_only_decodable_codings():
+    """The fetch path must never advertise a coding it cannot decode
+    (upstream builds ACCEPTED_ENCODINGS the same import-gated way)."""
+    from scrapy_spark.functions.http import (
+        _HAS_BROTLI,
+        _HAS_ZSTD,
+        accept_encoding_header,
+    )
+
+    adv = accept_encoding_header()
+    assert "gzip" in adv and "deflate" in adv
+    assert ("br" in adv.split(", ")) == _HAS_BROTLI
+    assert ("zstd" in adv.split(", ")) == _HAS_ZSTD
