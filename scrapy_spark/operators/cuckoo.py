@@ -44,6 +44,76 @@ import pandas as pd
 
 _TAG_MUL = np.uint64(0x5BD1E995)  # public MurmurHash2 multiplier
 
+SLOTS = 4
+MAX_KICKS = 500
+
+
+# --------------------------------------------------------- shard-level ops
+# Pure functions over ONE shard's (nbuckets, SLOTS) uint16 tag array —
+# shared by the driver-resident ShardedCuckoo and the executor-resident
+# DiskShardedCuckoo (operators/diskfilter.py), which must be bit-identical.
+def derive_quads(
+    mat: np.ndarray, shards: int, nbuckets: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(n, 20) uint8 fp matrix → (shard, tag u16≠0, i1, i2) arrays."""
+    nb = np.uint64(nbuckets)
+    shard = (
+        (mat[:, 0].astype(np.uint64) << np.uint64(8)) | mat[:, 1]
+    ) % np.uint64(shards)
+    tag = mat[:, 2:4].copy().view(np.uint16).reshape(-1)
+    tag = np.where(tag == 0, np.uint16(1), tag)
+    i1 = (mat[:, 4:12].copy().view(np.uint64).reshape(-1)) % nb
+    i2 = i1 ^ ((tag.astype(np.uint64) * _TAG_MUL) % nb)
+    return shard.astype(np.int64), tag, i1.astype(np.int64), i2.astype(np.int64)
+
+
+def _alt_bucket(tag: int, idx: int, nbuckets: int) -> int:
+    return int(
+        np.uint64(idx) ^ ((np.uint64(tag) * _TAG_MUL) % np.uint64(nbuckets))
+    )
+
+
+def shard_insert(t: np.ndarray, nbuckets: int, tag: int, i1: int, i2: int) -> None:
+    """Insert one tag into a shard array (partial-key kicks); raises
+    RuntimeError when MAX_KICKS evictions fail to find a home."""
+    for idx in (i1, i2):
+        free = np.nonzero(t[idx] == 0)[0]
+        if free.size:
+            t[idx, free[0]] = tag
+            return
+    idx, cur = i1, tag
+    for kick in range(MAX_KICKS):
+        victim_slot = kick % SLOTS
+        cur, t[idx, victim_slot] = int(t[idx, victim_slot]), cur
+        idx = _alt_bucket(cur, idx, nbuckets)
+        free = np.nonzero(t[idx] == 0)[0]
+        if free.size:
+            t[idx, free[0]] = cur
+            return
+    raise RuntimeError(
+        f"cuckoo shard over capacity ({MAX_KICKS} kicks exhausted) — size "
+        "the filter to the committed seen count before absorbing (engine "
+        "regrow does this)"
+    )
+
+
+def shard_delete(t: np.ndarray, tag: int, i1: int, i2: int) -> bool:
+    """Remove ONE stored copy of the tag from either home; True if hit."""
+    for idx in (i1, i2):
+        hit = np.nonzero(t[idx] == tag)[0]
+        if hit.size:
+            t[idx, hit[0]] = 0
+            return True
+    return False
+
+
+def cuckoo_nbuckets(capacity: int, shards: int) -> int:
+    """The sizing rule shared by every cuckoo variant: 95% load factor at
+    b=4 slots, buckets rounded up to a power of two."""
+    per = max(1024, capacity // shards)
+    want = int(per / (SLOTS * 0.95))
+    return 1 << max(8, (want - 1).bit_length())
+
 
 class ShardedCuckoo:
     """Partitioned cuckoo filter over 20-byte request fingerprints.
@@ -59,11 +129,9 @@ class ShardedCuckoo:
     def __init__(self, capacity: int, shards: int = 32):
         self.capacity = capacity
         self.shards = shards
-        per = max(1024, capacity // shards)
-        # 95% load factor is the b=4 cuckoo sweet spot; round buckets up
-        # to a power of two so i2 = i1 ^ h(tag) stays in range for free
-        want = int(per / (self.SLOTS * 0.95))
-        self.nbuckets = 1 << max(8, (want - 1).bit_length())
+        # 95% load factor is the b=4 cuckoo sweet spot; buckets a power
+        # of two so i2 = i1 ^ h(tag) stays in range for free
+        self.nbuckets = cuckoo_nbuckets(capacity, shards)
         self.tags = np.zeros(
             (shards, self.nbuckets, self.SLOTS), dtype=np.uint16
         )
@@ -78,17 +146,7 @@ class ShardedCuckoo:
         self, mat: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """(n, 20) uint8 → (shard, tag u16≠0, i1, i2) arrays."""
-        nb = np.uint64(self.nbuckets)
-        shard = (
-            (mat[:, 0].astype(np.uint64) << np.uint64(8)) | mat[:, 1]
-        ) % np.uint64(self.shards)
-        tag = mat[:, 2:4].copy().view(np.uint16).reshape(-1)
-        tag = np.where(tag == 0, np.uint16(1), tag)
-        i1 = (mat[:, 4:12].copy().view(np.uint64).reshape(-1)) % nb
-        i2 = i1 ^ ((tag.astype(np.uint64) * _TAG_MUL) % nb)
-        return shard.astype(np.int64), tag, i1.astype(np.int64), (
-            i2.astype(np.int64)
-        )
+        return derive_quads(mat, self.shards, self.nbuckets)
 
     def _alt(self, tag: np.ndarray, idx: np.ndarray) -> np.ndarray:
         nb = np.uint64(self.nbuckets)
@@ -99,27 +157,8 @@ class ShardedCuckoo:
 
     # ------------------------------------------------------------ mutation
     def _insert_one(self, shard: int, tag: int, i1: int, i2: int) -> bool:
-        t = self.tags[shard]
-        for idx in (i1, i2):
-            free = np.nonzero(t[idx] == 0)[0]
-            if free.size:
-                t[idx, free[0]] = tag
-                return True
-        # cuckoo kicks: evict a rotating victim slot, rehome it
-        idx, cur = i1, tag
-        for kick in range(self.MAX_KICKS):
-            victim_slot = kick % self.SLOTS
-            cur, t[idx, victim_slot] = int(t[idx, victim_slot]), cur
-            idx = int(self._alt(np.array([cur], np.uint16), np.array([idx]))[0])
-            free = np.nonzero(t[idx] == 0)[0]
-            if free.size:
-                t[idx, free[0]] = cur
-                return True
-        raise RuntimeError(
-            f"cuckoo shard {shard} over capacity ({self.MAX_KICKS} kicks "
-            "exhausted) — size the filter to the committed seen count "
-            "before absorbing (engine regrow does this)"
-        )
+        shard_insert(self.tags[shard], self.nbuckets, tag, i1, i2)
+        return True
 
     def add_many(self, fps: list[bytes]) -> None:
         if not fps:
@@ -144,13 +183,8 @@ class ShardedCuckoo:
         for s, tg, a, b in zip(
             shard.tolist(), tag.tolist(), i1.tolist(), i2.tolist()
         ):
-            t = self.tags[s]
-            for idx in (a, b):
-                hit = np.nonzero(t[idx] == tg)[0]
-                if hit.size:
-                    t[idx, hit[0]] = 0
-                    removed += 1
-                    break
+            if shard_delete(self.tags[s], tg, a, b):
+                removed += 1
         self.n_added -= removed
         return removed
 
@@ -296,4 +330,11 @@ def build_cuckoo_from_df(
     return out
 
 
-__all__ = ["ShardedCuckoo", "build_cuckoo_from_df"]
+__all__ = [
+    "ShardedCuckoo",
+    "build_cuckoo_from_df",
+    "derive_quads",
+    "shard_insert",
+    "shard_delete",
+    "cuckoo_nbuckets",
+]

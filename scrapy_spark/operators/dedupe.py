@@ -93,7 +93,15 @@ def anti_join_seen(
         # and skip the exact join; survivors ("maybe seen") proceed. The
         # final anti-join runs over ALL candidates against the (tiny) hits
         # set, so the clean/suspect split never needs a second UDF pass.
-        maybe_fps = candidates.select("fp").filter(
+        #
+        # Executor-RESIDENT filters (operators/diskfilter.py) don't
+        # broadcast at all: probe input repartitions by the fp-derived
+        # shard id so each task loads only ITS shard's file — per-task
+        # memory filter_size/shards, the 10^10-key design point.
+        probe_in = candidates.select("fp")
+        if getattr(bloom, "prefers_shard_partitioning", False):
+            probe_in = bloom.repartition_by_shard(probe_in)
+        maybe_fps = probe_in.filter(
             bloom.probe_udf(candidates.sparkSession)(F.col("fp"))
         )
         suspects_fp = maybe_fps

@@ -98,6 +98,22 @@ class CrawlEngine:
         self.bloom: ShardedBloom | ShardedCuckoo | None
         if sf_kind == "cuckoo":
             self.bloom = ShardedCuckoo(capacity=1_000_000)
+        elif sf_kind == "cuckoo-disk":
+            # executor-resident variant (operators/diskfilter.py): shard
+            # files on shared storage, probe/absorb/delete shard-owner-
+            # side — the driver never holds a tag array. Root rides with
+            # the persistent store when it has one (resume rebuild finds
+            # the files there); MemoryStore engines get a scratch dir.
+            import tempfile
+
+            from ..operators.diskfilter import DiskShardedCuckoo
+
+            root = getattr(store, "root", None) or tempfile.mkdtemp(
+                prefix="seen_filter_"
+            )
+            self.bloom = DiskShardedCuckoo(
+                spark, str(root), capacity=1_000_000
+            )
         elif sf_kind == "bloom":
             self.bloom = ShardedBloom(capacity=1_000_000, fpr=cfg.bloom_fpr)
         else:
@@ -168,7 +184,14 @@ class CrawlEngine:
         )
         if store.epoch < 0 and not store.scalars.get("bootstrapped"):
             eng.bootstrap(fix.seeds, fix.politeness)
-        else:
+        elif not (
+            getattr(eng.bloom, "prefers_shard_partitioning", False)
+            and eng.bloom.n_added > 0
+        ):
+            # resume: rebuild the prefilter from committed url_seen. The
+            # executor-resident variant skips this when its own manifest
+            # survived next to the store — its shard files ARE the
+            # durable state (a fresh rebuild would re-scan 10^10 rows).
             eng._rebuild_bloom()
         return eng
 
@@ -254,6 +277,15 @@ class CrawlEngine:
                 from ..operators.cuckoo import build_cuckoo_from_df
 
                 self.bloom = build_cuckoo_from_df(seen, capacity=capacity)
+            elif getattr(self.bloom, "prefers_shard_partitioning", False):
+                from ..operators.diskfilter import build_disk_cuckoo_from_df
+
+                self.bloom = build_disk_cuckoo_from_df(
+                    self.spark,
+                    str(self.bloom.root.parent),
+                    seen,
+                    capacity=capacity,
+                )
             else:
                 from ..operators.bloom import build_bloom_from_df
 
@@ -304,9 +336,9 @@ class CrawlEngine:
                     )
                 },
             )
-            if isinstance(self.bloom, ShardedCuckoo):
+            if hasattr(self.bloom, "delete_df"):  # cuckoo variants
                 self.bloom.delete_df(expired.select("fp"))
-            elif self.bloom is not None:
+            elif self.bloom is not None:  # bloom can't delete: rebuild
                 self._rebuild_bloom()
         expired.unpersist()
         return n
@@ -828,26 +860,42 @@ class CrawlEngine:
             # doubles as the fresh-row count (no fp ever hits the driver)
             try:
                 n_fresh = self.bloom.absorb_df(fresh.select("fp"))
-            except RuntimeError:
+            except Exception as absorb_err:  # noqa: BLE001
                 # an epoch whose fresh batch exceeds the post-commit
                 # regrow's ~10% headroom over-fills the cuckoo mid-absorb
                 # (a hard error, unlike bloom's graceful FPR drift) —
                 # recover by rebuilding at 2× over committed-seen ∪ this
                 # batch instead of crashing the epoch. The partially
                 # spliced filter is discarded wholesale, so no torn state
-                # survives.
+                # survives. Driver-resident absorbs raise RuntimeError
+                # directly; executor-resident ones surface the same
+                # message wrapped in a Spark PythonException.
+                if not (
+                    isinstance(absorb_err, RuntimeError)
+                    or "over capacity" in str(absorb_err)
+                ):
+                    raise
                 n_fresh = fresh.count()
+                all_fps = fresh.select("fp")
+                if url_seen is not None:
+                    all_fps = url_seen.select("fp").unionByName(all_fps)
+                capacity = max(2 * (self.bloom.n_added + n_fresh), 1_000_000)
                 if isinstance(self.bloom, ShardedCuckoo):
                     from ..operators.cuckoo import build_cuckoo_from_df
 
-                    all_fps = fresh.select("fp")
-                    if url_seen is not None:
-                        all_fps = url_seen.select("fp").unionByName(all_fps)
-                    capacity = max(
-                        2 * (self.bloom.n_added + n_fresh), 1_000_000
-                    )
                     self.bloom = build_cuckoo_from_df(
                         all_fps, capacity=capacity
+                    )
+                elif getattr(self.bloom, "prefers_shard_partitioning", False):
+                    from ..operators.diskfilter import (
+                        build_disk_cuckoo_from_df,
+                    )
+
+                    self.bloom = build_disk_cuckoo_from_df(
+                        self.spark,
+                        str(self.bloom.root.parent),
+                        all_fps,
+                        capacity=capacity,
                     )
                 else:  # pragma: no cover - bloom absorbs never raise
                     raise

@@ -310,9 +310,12 @@ def test_expired_url_recrawled_reregisters_as_seen(spark, tmp_path, store_kind):
     assert store.read("url_seen").count() == 0
 
     # continue the crawl: queued frontier rows link back to already-crawled
-    # URLs, which now dedupe as fresh and are re-crawled → re-inserted
+    # URLs, which now dedupe as fresh and are re-crawled → re-inserted.
+    # run() returns the CUMULATIVE stats log — count only the post-expiry
+    # epochs' fresh rows
+    expire_epoch = store.epoch
     stats = eng.run(max_epochs=2)
-    fresh_after = sum(s.fresh for s in stats)
+    fresh_after = sum(s.fresh for s in stats if s.epoch > expire_epoch)
     rows = store.read("url_seen").collect()
     fps_now = [bytes(r.fp) for r in rows]
     # the re-inserts are readable (stale deltas must not match them) ...
