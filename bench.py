@@ -58,6 +58,13 @@ BENCH_QUERIES = [
     "audio_decode_meta",
     "video_frame_sample",
     "image_phash_neardup",
+    # Documented bench exception: the MIH variant explodes C(8,3)=56
+    # block-combination keys per row BY DESIGN — that constant buys
+    # bucket size n/2^40 at the 10^10-row point, so at tiny sf it
+    # dominates this suite (~7-23 s, host-dependent) while the band-join
+    # variant above answers the same contract in ~1 s. Treat its wall
+    # time as fixed overhead when reading suite totals; regressions in
+    # OTHER queries should be judged net of it.
     "image_phash_neardup_mih",
     "image_phash_cluster_reps",
     "image_caption_dup_pairs",

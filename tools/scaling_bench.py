@@ -29,13 +29,28 @@ INTERLEAVED (N, 4N, N, 4N, …) in fresh JVMs and the per-level minimum is
 taken — minima are robust to one-sided load bursts that would otherwise
 bias the ratio.
 
+Two jobs (``--job`` / SPARK_GRAFT_SCALE_JOB):
+
+- ``core`` (default): the one-batch scheduling core above — the
+  headline-metric job.
+- ``epoch``: the FULL epoch loop — ``CrawlEngine.run`` over the 1M-URL
+  Zipf fixture (robots gate, politeness watermark, priority pop,
+  synthetic fetch, link parse, dedupe, store commits per epoch) — so the
+  ≥0.8 claim covers the engine's actual per-epoch job chain, not just
+  its hottest stage. Throughput = URLs through the scheduling core
+  (popped + fresh + dup-filtered) per second, the same accounting
+  bench.py reports.
+
 Usage:
     python tools/scaling_bench.py                  # orchestrate, write BENCH/
+    python tools/scaling_bench.py --job epoch      # full epoch loop
     python tools/scaling_bench.py --worker --cpus 8 --urls 4000000 --dir D
 
 Env: SPARK_GRAFT_SCALE_URLS (default 4_000_000),
      SPARK_GRAFT_SCALE_LEVELS (default "8,32"),
-     SPARK_GRAFT_SCALE_ROUNDS (default 3, interleaved, min taken).
+     SPARK_GRAFT_SCALE_ROUNDS (default 3, interleaved, min taken),
+     SPARK_GRAFT_SCALE_JOB (core|epoch),
+     SPARK_GRAFT_SCALE_EPOCHS (default 4, epoch job only).
 """
 
 from __future__ import annotations
@@ -160,11 +175,45 @@ def run_core_job(spark, root: str) -> int:
 INPUT_PARTS = 128
 
 
+def run_epoch_job(spark, epochs: int) -> dict:
+    """The full-epoch-loop job: bench.py's crawl-engine benchmark over
+    the deterministic 1M-URL Zipf fixture (same seed → identical work at
+    every level; fixture setup is untimed inside bench_crawl_engine)."""
+    import bench
+
+    return bench.bench_crawl_engine(spark, "bench", epochs)
+
+
 def worker(
-    cpus: int, n_urls: int, workdir: str, repeat: int, prepare: bool
+    cpus: int, n_urls: int, workdir: str, repeat: int, prepare: bool,
+    job: str = "core", epochs: int = 4,
 ) -> None:
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    if job == "epoch":
+        run_epoch_job(spark, epochs=1)  # warmup: JIT/codegen/UDF workers
+        best = None
+        for _ in range(repeat):
+            res = run_epoch_job(spark, epochs)
+            if best is None or res["elapsed_sec"] < best["elapsed_sec"]:
+                best = res
+        processed = (
+            best["urls_popped"] + best["urls_fresh"] + best["urls_dup_filtered"]
+        )
+        print(
+            json.dumps(
+                {
+                    "cpus": cpus,
+                    "job": "epoch",
+                    "epochs": best["epochs"],
+                    "processed": processed,
+                    "elapsed_sec": best["elapsed_sec"],
+                    "urls_per_sec": best["urls_per_sec"],
+                }
+            )
+        )
+        spark.stop()
+        return
     if prepare:
         prepare_input(spark, n_urls, INPUT_PARTS, workdir)
     if repeat == 0:  # generation-only pass
@@ -192,7 +241,10 @@ def worker(
     spark.stop()
 
 
-def _spawn_worker(cpus: int, n_urls: int, workdir: str, prepare: bool) -> dict:
+def _spawn_worker(
+    cpus: int, n_urls: int, workdir: str, prepare: bool,
+    job: str = "core", epochs: int = 4,
+) -> dict:
     cmd = [
         sys.executable,
         __file__,
@@ -205,6 +257,10 @@ def _spawn_worker(cpus: int, n_urls: int, workdir: str, prepare: bool) -> dict:
         workdir,
         "--repeat",
         "1",
+        "--job",
+        job,
+        "--epochs",
+        str(epochs),
     ]
     if prepare:
         cmd.append("--prepare")
@@ -216,7 +272,7 @@ def _spawn_worker(cpus: int, n_urls: int, workdir: str, prepare: bool) -> dict:
     return json.loads(line)
 
 
-def orchestrate() -> None:
+def orchestrate(job: str = "core") -> None:
     n_urls = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "4000000"))
     levels = [
         int(x)
@@ -224,6 +280,46 @@ def orchestrate() -> None:
     ]
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
     gen_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_GEN_CPUS", "32"))
+    epochs = int(os.environ.get("SPARK_GRAFT_SCALE_EPOCHS", "4"))
+    if job == "epoch":
+        best_e: dict[int, dict] = {}
+        samples_e: list[dict] = []
+        for _ in range(rounds):
+            for cpus in levels:  # interleaved: N, 4N, N, 4N, …
+                res = _spawn_worker(
+                    cpus, n_urls, "", prepare=False, job="epoch",
+                    epochs=epochs,
+                )
+                samples_e.append(dict(res))
+                cur = best_e.get(cpus)
+                if cur is None or res["elapsed_sec"] < cur["elapsed_sec"]:
+                    best_e[cpus] = res
+        results = [best_e[c] for c in sorted(best_e)]
+        lo, hi = results[0], results[-1]
+        ratio = hi["urls_per_sec"] / lo["urls_per_sec"]
+        core_factor = hi["cpus"] / lo["cpus"]
+        eff = ratio / core_factor
+        report = {
+            "job": "full epoch loop: CrawlEngine.run over the 1M-URL Zipf "
+                   "fixture (robots, politeness, pop, fetch, parse, dedupe, "
+                   "store commits)",
+            "epochs": epochs,
+            "levels": results,
+            "speedup": round(ratio, 3),
+            "core_factor": core_factor,
+            "scaling_efficiency": round(eff, 3),
+            "criterion": "efficiency ≥ 0.8 (north_rule)",
+            "pass": eff >= 0.8,
+            "samples": samples_e,
+        }
+        bench_dir = REPO / "BENCH"
+        bench_dir.mkdir(exist_ok=True)
+        (bench_dir / "scaling_epoch.json").write_text(
+            json.dumps(report, indent=2)
+        )
+        append_epoch_md(bench_dir / "BASELINE.md", report)
+        print(json.dumps(report))
+        return
     best: dict[int, dict] = {}
     with tempfile.TemporaryDirectory(
         prefix="scale_input_", dir="/dev/shm"
@@ -285,8 +381,63 @@ def orchestrate() -> None:
     print(json.dumps(report))
 
 
+def append_epoch_md(path: pathlib.Path, rep: dict) -> None:
+    """Replace-or-append the epoch-loop section in BASELINE.md (a '## '
+    section, so core-job rewrites preserve it)."""
+    header = "## Epoch-loop scaling (full engine per-epoch job chain)"
+    lo, hi = rep["levels"][0], rep["levels"][-1]
+    verdict = "**PASS**" if rep["pass"] else "**FAIL**"
+    rows = "\n".join(
+        f"| {i + 1} | {s['cpus']} | {s['elapsed_sec']} | {s['urls_per_sec']:,.0f} |"
+        for i, s in enumerate(rep.get("samples", []))
+    )
+    section = f"""{header}
+
+Same interleaved fresh-JVM / per-level-minimum discipline as the core
+job, but the measured job is **`CrawlEngine.run` itself** — {rep['epochs']}
+epochs over the deterministic 1M-URL Zipf fixture, store commits
+included — so the ≥0.8 criterion covers the engine's actual per-epoch
+job chain (VERDICT r4 next-step 9). Throughput counts URLs through the
+scheduling core (popped + fresh + dup-filtered) per second.
+
+| parallelism | elapsed (best-of) | throughput (URLs/s) |
+|---|---|---|
+| local[{lo['cpus']}]  (N)  | {lo['elapsed_sec']} s | {lo['urls_per_sec']:,.0f} |
+| local[{hi['cpus']}] (4N) | {hi['elapsed_sec']} s | {hi['urls_per_sec']:,.0f} |
+
+**Speedup {lo['cpus']}→{hi['cpus']}: {rep['speedup']}× of {rep['core_factor']:.0f}× ideal ⇒
+efficiency = {rep['scaling_efficiency']} — {verdict} (≥ 0.8).** All samples, run order:
+
+| run | cpus | elapsed (s) | URLs/s |
+|---|---|---|---|
+{rows}
+
+Raw numbers: `BENCH/scaling_epoch.json`. Reproduce:
+`python tools/scaling_bench.py --job epoch`.
+"""
+    existing = path.read_text() if path.exists() else ""
+    if header in existing:
+        start = existing.index(header)
+        nxt = existing.find("\n## ", start + len(header))
+        end = len(existing) if nxt == -1 else nxt + 1
+        existing = existing[:start] + section + existing[end:]
+    else:
+        existing = existing.rstrip() + "\n\n" + section
+    path.write_text(existing)
+
+
 def write_md(path: pathlib.Path, rep: dict) -> None:
     lo, hi = rep["levels"][0], rep["levels"][-1]
+    # preserve manually appended sections (round-context notes, the
+    # executor-resident filter measurements, the epoch-loop table): the
+    # generated template has no "## " headings, so everything from the
+    # first one onward is appended material that must survive a re-run
+    preserved = ""
+    if path.exists():
+        existing = path.read_text()
+        cut = existing.find("\n## ")
+        if cut != -1:
+            preserved = existing[cut:]
     path.write_text(
         f"""# BENCH/BASELINE — measured scaling evidence (T6)
 
@@ -326,6 +477,7 @@ Reproduce: `python tools/scaling_bench.py` (env:
 `SPARK_GRAFT_SCALE_URLS`, `SPARK_GRAFT_SCALE_LEVELS`,
 `SPARK_GRAFT_SCALE_ROUNDS`). Raw numbers: `BENCH/scaling.json`.
 """
+        + preserved
     )
 
 
@@ -337,6 +489,12 @@ def main() -> None:
     ap.add_argument("--dir", default=None)
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--prepare", action="store_true")
+    ap.add_argument(
+        "--job",
+        choices=("core", "epoch"),
+        default=os.environ.get("SPARK_GRAFT_SCALE_JOB", "core"),
+    )
+    ap.add_argument("--epochs", type=int, default=4)
     args = ap.parse_args()
     if args.worker:
         worker(
@@ -344,10 +502,12 @@ def main() -> None:
             args.urls,
             args.dir or tempfile.mkdtemp(),
             args.repeat,
-            args.prepare or args.dir is None,
+            args.prepare or (args.dir is None and args.job == "core"),
+            job=args.job,
+            epochs=args.epochs,
         )
     else:
-        orchestrate()
+        orchestrate(args.job)
 
 
 if __name__ == "__main__":
