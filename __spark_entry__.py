@@ -458,6 +458,117 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _docs_with_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII into a slice of the corpus (the
+    fixture text is PII-free word salad, which would make the scrub
+    oracle vacuous): every 10th doc gains an email, doc_id%7==3 an IPv4,
+    doc_id%13==5 a phone — derived from doc_id so the DuckDB oracle
+    replays the injection exactly."""
+    did = F.col("doc_id")
+    injected = (
+        F.when(
+            did % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 7 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" host 10.0."),
+                (did % 200).cast("string"),
+                F.lit(".25 up"),
+            ),
+        )
+        .when(
+            did % 13 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1415555"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.withColumn("text", injected)
+
+
+#: the same injection, replayed by the DuckDB oracles
+_PII_INJECT_CTE = """
+  injected AS (
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 10 = 0 THEN text || ' contact user'
+                  || CAST(doc_id AS VARCHAR) || '@example.com now'
+             WHEN doc_id % 7 = 3 THEN text || ' host 10.0.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.25 up'
+             WHEN doc_id % 13 = 5 THEN text || ' call +1415555'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text
+           END AS text
+    FROM documents)
+"""
+
+
+def _pii_oracle_body() -> str:
+    from scrapy_spark.datapipe.pii import pii_oracle_sql
+
+    return pii_oracle_sql("injected")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (datapipe/pii.py): per-doc email /
+    phone / IPv4 match counts plus the redacted text — JVM regexp only,
+    patterns restricted to the Java-regex ∩ RE2 subset so the DuckDB
+    oracle replays them verbatim. Runs over the PII-planted corpus
+    (_docs_with_pii) so the match counts are non-trivial."""
+    from scrapy_spark.datapipe.pii import pii_stats
+
+    return pii_stats(_docs_with_pii(_t(spark, sf_dir, "documents")))
+
+
+def q_quality_heuristic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher heuristic filter rules (datapipe/quality.py): word
+    bounds, mean word length, terminal-punctuation line fraction,
+    symbol/word ratio, phrase blocklist, and the keep verdict. Every 3rd
+    doc gains a terminal '.', every 17th a blocklist phrase, every 11th
+    a '{{' symbol run — doc_id-derived, replayed by the oracle — so each
+    rule actually fires both ways."""
+    from scrapy_spark.datapipe.quality import heuristic_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    txt = (
+        F.when(did % 17 == 2, F.concat(F.col("text"), F.lit(" lorem ipsum")))
+        .when(did % 11 == 4, F.concat(F.col("text"), F.lit(" {{{#|}}} x")))
+        .when(did % 3 == 0, F.concat(F.col("text"), F.lit(".")))
+        .otherwise(F.col("text"))
+    )
+    return heuristic_rules(docs.withColumn("text", txt))
+
+
+def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span mass per doc (datapipe/dedup.py dup_span_stats,
+    the Lee-et-al span-dedup diagnostic): distinct token 8-grams that
+    occur in ≥2 documents, counted per doc. Integer outputs only."""
+    from scrapy_spark.datapipe.dedup import dup_span_stats
+
+    return dup_span_stats(_t(spark, sf_dir, "documents"), n=8)
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 characteristic terms (datapipe/text.py top_terms):
+    TF-IDF-shaped ranking with the exact integer rarity surrogate
+    tf × (N − df), ties by term — integer-deterministic across engines."""
+    from scrapy_spark.datapipe.text import top_terms
+
+    return top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check (datapipe/contamination.py): every
     50th document plays the eval set; corpus docs sharing an 8-token
@@ -957,6 +1068,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "text_repetition_stats": q_text_repetition_stats,
         "text_contamination": q_text_contamination,
+        "pii_scrub": q_pii_scrub,
+        "quality_heuristic_rules": q_quality_heuristic_rules,
+        "dedup_span_stats": q_dedup_span_stats,
+        "text_top_terms": q_text_top_terms,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
@@ -1767,6 +1882,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, probe_id, count(*) AS n_shared
             FROM dg JOIN pg USING (gh)
             GROUP BY doc_id, probe_id
+        """,
+        "pii_scrub": "WITH " + _PII_INJECT_CTE + _pii_oracle_body(),
+        "quality_heuristic_rules": f"""
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 2 THEN text || ' lorem ipsum'
+                          WHEN doc_id % 11 = 4 THEN text || ' {{{{{{#|}}}}}} x'
+                          WHEN doc_id % 3 = 0 THEN text || '.'
+                          ELSE text END AS text
+              FROM documents),
+            base AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '[ \n\t]+'),
+                                 x -> x != '') AS w,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x != '') AS l
+              FROM inj)
+            SELECT doc_id, n_words, mean_word_len, frac_lines_end_punct,
+                   symbol_word_ratio, has_blocklist,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3 AND mean_word_len <= 10
+                    AND symbol_word_ratio <= 0.1
+                    AND NOT has_blocklist) AS keep
+            FROM (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     CASE WHEN len(w) = 0 THEN 0.0
+                          ELSE round(list_sum(list_transform(w, x -> length(x)))
+                                     * 1.0 / len(w), 4) END AS mean_word_len,
+                     CASE WHEN len(l) = 0 THEN 0.0
+                          ELSE round(len(list_filter(l,
+                                 x -> regexp_matches(x, '[.!?"]$')))
+                                     * 1.0 / len(l), 4) END
+                       AS frac_lines_end_punct,
+                     CASE WHEN len(w) = 0 THEN 0.0
+                          ELSE round((length(text) - length(
+                                 replace(replace(replace(replace(text,
+                                   '#', ''), '{{', ''), '}}', ''), '|', '')))
+                                     * 1.0 / len(w), 4) END
+                       AS symbol_word_ratio,
+                     (contains(lower(text), 'lorem ipsum')
+                      OR contains(lower(text), 'javascript'))
+                       AS has_blocklist
+              FROM base)
+        """,
+        "dedup_span_stats": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(len(t) - 7),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                            || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                            || ' ' || t[i+7] || ' ' || t[i+8]))) AS shingle
+              FROM toks WHERE len(t) >= 8),
+            dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+            per AS (
+              SELECT doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+              FROM sh JOIN dfreq USING (shingle) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "text_top_terms": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term
+                          FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf, df,
+                     CAST(tf * (nd - df) AS BIGINT) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, score, rank
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term ASC
+                  ) AS rank FROM scored)
+            WHERE rank <= 3
         """,
         "text_repetition_stats": """
             WITH lines AS (

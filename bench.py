@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "text_token_count",
     "text_repetition_stats",
     "text_contamination",
+    "pii_scrub",
+    "quality_heuristic_rules",
+    "dedup_span_stats",
+    "text_top_terms",
     "doc_winnow_fingerprints",
     "request_identity",
     "crawl_frontier_pop",

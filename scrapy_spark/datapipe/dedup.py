@@ -588,6 +588,51 @@ def simhash_near_dups(
     )
 
 
+def dup_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span mass — the corpus diagnostic behind
+    span-level dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": repeated ~50-token spans dominate memorized
+    text): for each doc, how many of its DISTINCT token n-grams also
+    occur in at least one other document.
+
+    → (doc_id, n_spans, n_dup_spans) — integers only, so the DuckDB
+    oracle hash-matches with zero float-boundary risk; the dup fraction
+    is a trivial downstream division.
+
+    Plan: the shingle explode (JVM-side, array_distinct per doc) →
+    hash-agg document frequency per shingle → shuffle join back on the
+    shingle key → per-doc count. Two shuffles on the uniform-ish shingle
+    key, linear in total postings — the same shape (and the same AQE
+    skew handling) as the n-gram Jaccard inverted index above. At the
+    10^13-span point the exact df table gives way to a CountMin/bloom df
+    sketch broadcast per executor; the per-doc accounting is unchanged.
+    Docs shorter than n tokens have no spans → (0, 0) rows, kept."""
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        sh.join(docfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        )
+    )
+
+
 __all__ = [
     "exact_dup_groups",
     "shingles",
@@ -598,4 +643,5 @@ __all__ = [
     "simhash_near_dups",
     "hamming_near_dup_pairs",
     "hamming_near_dup_pairs_mih",
+    "dup_span_stats",
 ]

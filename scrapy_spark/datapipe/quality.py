@@ -80,4 +80,85 @@ def repetition_stats(
     )
 
 
-__all__ = ["repetition_stats"]
+def heuristic_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4/Gopher-style per-document heuristic filters (the public
+    recipes' rule set, applied before any model-based scoring):
+
+    - ``n_words``, ``mean_word_len`` — Gopher keeps docs with 50–100k
+      words and mean word length 3–10;
+    - ``frac_lines_end_punct`` — C4 drops pages whose lines don't end
+      in terminal punctuation (kept as the raw fraction here);
+    - ``symbol_word_ratio`` — (# of '#', '{', '}', '|' symbols) / words,
+      Gopher drops > 0.1 (code/boilerplate tell);
+    - ``has_blocklist`` — C4's exact-phrase tells ('lorem ipsum',
+      '{'-heavy javascript boilerplate marker);
+    - ``keep`` — the conjunction, one boolean per doc.
+
+    Pure Column algebra over one scan (split/filter/aggregate) — no
+    Python, no shuffle; ratios rounded to 4 so the DuckDB oracle can
+    hash-match (per-row rounding of identical doubles, not aggregates).
+    """
+    stage1 = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        F.expr(
+            f"filter(split({text_col}, '[ \\n\\t]+'), x -> x != '')"
+        ).alias("__words"),
+        F.expr(
+            f"filter(transform(split({text_col}, '\\n'), x -> trim(x)),"
+            " x -> x != '')"
+        ).alias("__lines"),
+    )
+    n_words = F.size("__words")
+    n_lines = F.size("__lines")
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.aggregate(
+                F.col("__words"),
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w),
+            ).cast("double")
+            / n_words,
+            4,
+        )
+    )
+    end_punct = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(
+                F.expr("filter(__lines, x -> x rlike '[.!?\"]$')")
+            ).cast("double")
+            / n_lines,
+            4,
+        )
+    )
+    n_symbols = (
+        F.length("__text")
+        - F.length(F.translate(F.col("__text"), "#{}|", ""))
+    )
+    sym_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.round(n_symbols.cast("double") / n_words, 4)
+    )
+    low = F.lower(F.col("__text"))
+    blocklist = low.contains("lorem ipsum") | low.contains("javascript")
+    out = stage1.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        end_punct.alias("frac_lines_end_punct"),
+        sym_ratio.alias("symbol_word_ratio"),
+        blocklist.alias("has_blocklist"),
+    )
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & ~F.col("has_blocklist")
+    )
+    return out.withColumn("keep", keep)
+
+
+__all__ = ["repetition_stats", "heuristic_rules"]

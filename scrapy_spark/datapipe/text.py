@@ -16,7 +16,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -202,6 +202,47 @@ def winnow_fingerprints(
     )
 
 
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k characteristic terms — the TF-IDF shape
+    (keyword extraction / topic tagging in a training-data pipeline):
+    per-doc term frequency × corpus-level rarity, ranked per doc.
+
+    Rarity is the EXACT integer surrogate ``score = tf × (N − df)``
+    (N = corpus docs, df = document frequency) instead of the usual
+    ``tf · log(N/df)``: same ordering behavior for ranking, but integer
+    arithmetic end-to-end, so the DuckDB oracle matches bit-for-bit
+    (libm ``log`` can differ across engines in the last ulp, which a
+    rank boundary would amplify). Ties broken by term ascending —
+    deterministic total order.
+
+    Plan: token explode → (doc, term) hash-agg (tf) → term hash-agg
+    (df, with map-side combine) → broadcast-or-shuffle join back →
+    per-doc window top-k. The df table is |vocab|-sized — tiny relative
+    to the corpus, broadcastable at any realistic scale."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score", F.col("tf") * (F.lit(n_docs) - F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
 __all__ = [
     "tokens",
     "token_stats",
@@ -213,4 +254,5 @@ __all__ = [
     "LANG_PROFILES",
     "EN_STOPWORDS",
     "TOKEN_RE",
+    "top_terms",
 ]

@@ -160,6 +160,29 @@ def main() -> int:
             ["HashAggregate"],
             list(BAD_EVERYWHERE) + ["ArrowEvalPython", "text:string"],
         ),
+        # r5 pipeline ops: all pure JVM Column algebra — zero Python
+        # evals anywhere (regexp/list ops codegen-side); top_terms' df
+        # join must be a broadcast, never a cross-product
+        (
+            "pii_scrub",
+            [],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
+        ),
+        (
+            "quality_heuristic_rules",
+            [],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
+        ),
+        (
+            "dedup_span_stats",
+            ["HashAggregate"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
+        ),
+        (
+            "text_top_terms",
+            ["BroadcastHashJoin"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
+        ),
     ]
 
     sections, failures = [], []
