@@ -31,6 +31,7 @@ cookies, retries, charset, link extraction) is transport-agnostic.
 from __future__ import annotations
 
 import socket
+import ssl
 import struct
 import threading
 from urllib.parse import urlsplit
@@ -154,8 +155,31 @@ class H2Connection:
     pool replaces it (transient-error semantics: callers get an error
     tuple, the engine's retry path re-queues)."""
 
-    def __init__(self, host: str, port: int, timeout_s: float = 30.0):
-        self.sock = socket.create_connection((host, port), timeout=timeout_s)
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        timeout_s: float = 30.0,
+        ssl_context=None,
+        server_hostname: str | None = None,
+    ):
+        raw = socket.create_connection((host, port), timeout=timeout_s)
+        if ssl_context is not None:
+            # h2-over-TLS (RFC 9113 §3.1): verified handshake + ALPN —
+            # the peer MUST negotiate "h2" or the connection is refused.
+            # (One reader thread + locked writers: SSLSocket supports the
+            # one-reader/one-writer pattern on blocking sockets.)
+            self.sock = ssl_context.wrap_socket(
+                raw, server_hostname=server_hostname or host
+            )
+            if self.sock.selected_alpn_protocol() != "h2":
+                self.sock.close()
+                raise ConnectionError(
+                    "TLS peer did not negotiate h2 via ALPN"
+                )
+        else:
+            self.sock = raw  # h2c: cleartext prior-knowledge
+        self.scheme = "https" if ssl_context is not None else "http"
         # blocking reads after connect: the reader thread parks on recv
         # between responses (an idle pooled connection must not time out);
         # per-REQUEST deadlines live in request()'s event wait instead
@@ -280,7 +304,7 @@ class H2Connection:
         """GET ``path`` → (status, body, headers, set_cookie, error)."""
         hdrs = [
             (":method", "GET"),
-            (":scheme", "http"),
+            (":scheme", self.scheme),
             (":authority", authority),
             (":path", path),
         ]
@@ -341,14 +365,23 @@ class H2Pool:
     executor-local resolver memo; dead connections are replaced on the
     next request (callers see a retryable error row meanwhile)."""
 
-    def __init__(self, timeout_s: float = 30.0):
+    def __init__(self, timeout_s: float = 30.0, ca_file: str | None = None):
         self.timeout_s = timeout_s
-        self._conns: dict[tuple[str, int], H2Connection] = {}
+        self.ca_file = ca_file
+        self._conns: dict[tuple, H2Connection] = {}
         self._lock = threading.Lock()
         # per-authority connect locks: a blocking TCP connect/handshake to
         # one dead host (up to timeout_s) must never serialize fetches to
         # OTHER authorities, so the pool-global lock only guards the dicts
-        self._key_locks: dict[tuple[str, int], threading.Lock] = {}
+        self._key_locks: dict[tuple, threading.Lock] = {}
+        self._ssl_ctx = None  # lazy: built on the first https fetch
+
+    def _tls_context(self):
+        if self._ssl_ctx is None:
+            ctx = ssl.create_default_context(cafile=self.ca_file)
+            ctx.set_alpn_protocols(["h2"])
+            self._ssl_ctx = ctx
+        return self._ssl_ctx
 
     def connect_count(self) -> int:
         return len(self._conns)
@@ -360,13 +393,15 @@ class H2Pool:
         maxsize: int = 10 * 1024 * 1024,
     ) -> tuple[int, bytes, dict, list, bool, str | None]:
         """``_fetch_one``-shaped: (status, body, headers, set_cookie,
-        truncated, error)."""
+        truncated, error). ``https`` URLs get h2-over-TLS (verified
+        handshake + ALPN); ``http`` stays h2c prior-knowledge."""
         parts = urlsplit(url)
-        host, port = parts.hostname, parts.port or 80
+        tls = parts.scheme == "https"
+        host, port = parts.hostname, parts.port or (443 if tls else 80)
         path = parts.path or "/"
         if parts.query:
             path += "?" + parts.query
-        key = (host, port)
+        key = (host, port, tls)
         with self._lock:
             conn = self._conns.get(key)
             klock = self._key_locks.setdefault(key, threading.Lock())
@@ -379,8 +414,13 @@ class H2Pool:
                     conn = self._conns.get(key)
                 if conn is None or conn.closed:
                     try:
-                        conn = H2Connection(host, port, self.timeout_s)
-                    except Exception as e:  # noqa: BLE001 — refused/DNS
+                        conn = H2Connection(
+                            host,
+                            port,
+                            self.timeout_s,
+                            ssl_context=self._tls_context() if tls else None,
+                        )
+                    except Exception as e:  # noqa: BLE001 — refused/DNS/TLS
                         return 0, b"", {}, [], False, f"{type(e).__name__}: {e}"
                     with self._lock:
                         self._conns[key] = conn
@@ -407,11 +447,19 @@ class H2Server:
     indexing, so the CLIENT's dynamic-table decode path is genuinely
     exercised (not just static hits)."""
 
-    def __init__(self, handler):
+    def __init__(self, handler, tls: tuple[str, str] | None = None):
+        """``tls=(certfile, keyfile)`` serves h2-over-TLS: the listener
+        wraps accepted sockets with an ALPN-h2 TLS context (RFC 9113
+        §3.1), exactly what a real h2 origin does."""
         self.handler = handler
         self.connections = 0
         self.requests = 0
         self._lock = threading.Lock()
+        self._tls_ctx = None
+        if tls is not None:
+            self._tls_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._tls_ctx.load_cert_chain(*tls)
+            self._tls_ctx.set_alpn_protocols(["h2"])
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.bind(("127.0.0.1", 0))
@@ -424,8 +472,12 @@ class H2Server:
         while self._accepting:
             try:
                 conn, _ = self.sock.accept()
+                if self._tls_ctx is not None:
+                    conn = self._tls_ctx.wrap_socket(conn, server_side=True)
             except OSError:
                 return
+            except ssl.SSLError:
+                continue  # a failed handshake must not kill the listener
             with self._lock:
                 self.connections += 1
             threading.Thread(

@@ -150,11 +150,12 @@ def _fetch_one(
         return 0, b"", {}, [], False, f"{type(e).__name__}: {e}"
 
 
-#: worker-process-global h2 connection pool (like the ipslots resolver
-#: memo): one connection per authority, reused across Arrow batches for
-#: the lifetime of the Python worker. Lock: the fetch thread pool races
-#: the lazy init (32 threads, first batch).
-_H2_POOL = None
+#: worker-process-global h2 connection pools (like the ipslots resolver
+#: memo), one per CA bundle: one connection per authority inside each,
+#: reused across Arrow batches for the lifetime of the Python worker.
+#: Lock: the fetch thread pool races the lazy init (32 threads, first
+#: batch).
+_H2_POOLS: dict[str | None, object] = {}
 _H2_POOL_LOCK = threading.Lock()
 
 
@@ -164,22 +165,26 @@ def _fetch_one_h2(
     maxsize: int,
     user_agent: str,
     extra_headers: dict | None = None,
+    ca_file: str | None = None,
 ) -> tuple[int, bytes, dict, list, bool, str | None]:
     """S3 transport: same contract as ``_fetch_one`` over one multiplexed
-    h2c connection per authority (operators/http2.py)."""
-    global _H2_POOL
+    h2 connection per authority (operators/http2.py) — cleartext
+    prior-knowledge for http URLs, verified TLS + ALPN for https. Pools
+    are cached per CA bundle (ca_file is engine-constant config, but a
+    long-lived worker may serve sessions with different trust roots)."""
     with _H2_POOL_LOCK:
-        if _H2_POOL is None:
+        pool = _H2_POOLS.get(ca_file)
+        if pool is None:
             from .http2 import H2Pool
 
-            _H2_POOL = H2Pool(timeout_s)
+            pool = _H2_POOLS[ca_file] = H2Pool(timeout_s, ca_file=ca_file)
     from ..functions.http import accept_encoding_header
 
     headers = {"user-agent": user_agent,
                "accept-encoding": accept_encoding_header()}
     if extra_headers:
         headers.update({k.lower(): v for k, v in extra_headers.items()})
-    return _H2_POOL.fetch(url, headers, maxsize)
+    return pool.fetch(url, headers, maxsize)
 
 
 def http_fetch(
@@ -250,7 +255,10 @@ def http_fetch(
                 t0 = time.monotonic()
                 if transport == "h2c":
                     status, body, headers, set_cookie, truncated, error = (
-                        _fetch_one_h2(url, timeout_s, maxsize, user_agent, extra)
+                        _fetch_one_h2(
+                            url, timeout_s, maxsize, user_agent, extra,
+                            ca_file=ca_file,
+                        )
                     )
                 else:
                     status, body, headers, set_cookie, truncated, error = (

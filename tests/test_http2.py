@@ -196,6 +196,61 @@ def test_h2_pool_fetch_contract(h2srv):
     pool.close()
 
 
+def test_h2_over_tls_alpn_end_to_end(spark, tmp_path):
+    """h2-over-TLS (RFC 9113 §3.1): verified handshake + ALPN "h2"
+    against an ssl-wrapped loopback H2Server — multiplexing, the https
+    :scheme pseudo-header, and verification enforcement all hold."""
+    pytest.importorskip("cryptography")
+    from tests.test_tls_proxy_auth import _make_self_signed
+
+    from scrapy_spark.operators.netfetch import http_fetch
+
+    cert_pem, key_pem = _make_self_signed(tmp_path)
+    srv = H2Server(_handler, tls=(cert_pem, key_pem))
+    try:
+        import ssl as _ssl
+
+        ctx = _ssl.create_default_context(cafile=cert_pem)
+        ctx.set_alpn_protocols(["h2"])
+        conn = H2Connection(
+            "127.0.0.1", srv.port, timeout_s=10.0, ssl_context=ctx
+        )
+        assert conn.scheme == "https"
+        status, body, headers, sc, err = conn.request(
+            "/echo/tls", f"127.0.0.1:{srv.port}"
+        )
+        assert (status, body, err) == (200, b"tls", None)
+        conn.close()
+
+        # pool + Spark operator path: https scheme routes through TLS,
+        # still ONE connection for many rows
+        pool = H2Pool(timeout_s=10.0, ca_file=cert_pem)
+        base = f"https://127.0.0.1:{srv.port}"
+        status, body, *_r, err = pool.fetch(f"{base}/echo/pool")
+        assert (status, body, err) == (200, b"pool", None)
+        pool.close()
+
+        reqs = spark.createDataFrame(
+            [(str(i).encode(), f"{base}/echo/{i}", "127.0.0.1")
+             for i in range(8)],
+            "fp binary, url string, slot string",
+        ).coalesce(1)
+        out = http_fetch(
+            reqs, transport="h2c", timeout_s=10.0, ca_file=cert_pem
+        ).collect()
+        assert all(r.status == 200 and bytes(r.body) == bytes(r.fp)
+                   for r in out)
+
+        # verification is enforced: no CA file → handshake refused, and
+        # the pool surfaces it as a retryable error row
+        pool_bad = H2Pool(timeout_s=10.0, ca_file=None)
+        status, *_r, err = pool_bad.fetch(f"{base}/echo/x")
+        assert status == 0 and "CERTIFICATE_VERIFY_FAILED" in (err or "")
+        pool_bad.close()
+    finally:
+        srv.close()
+
+
 def test_http_fetch_operator_over_h2c(spark, h2srv):
     from pyspark.sql import functions as F
 
@@ -375,12 +430,14 @@ def test_h2_pool_dead_host_does_not_serialize_other_authorities(h2srv, monkeypat
     slow_started = threading.Event()
 
     class SlowConn:
-        def __new__(cls, host, port, timeout_s=30.0):
+        def __new__(cls, host, port, timeout_s=30.0, ssl_context=None,
+                    server_hostname=None):
             if port == 9:  # the dead authority
                 slow_started.set()
                 time.sleep(1.5)
                 raise ConnectionError("dead host")
-            return real_conn(host, port, timeout_s)
+            return real_conn(host, port, timeout_s, ssl_context,
+                             server_hostname)
 
     monkeypatch.setattr(h2mod, "H2Connection", SlowConn)
     pool = h2mod.H2Pool(timeout_s=5.0)
