@@ -93,6 +93,11 @@ def build_spark(cpus: int):
         .config("spark.driver.memory", "16g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # long-running driver: cap status-store retention (each retained
+        # SQL execution pins its plan graph; epoch plans are deep)
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "64")
+        .config("spark.ui.retainedStages", "128")
         .getOrCreate()
     )
 

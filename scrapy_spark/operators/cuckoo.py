@@ -236,23 +236,41 @@ class ShardedCuckoo:
             self.tags = built.tags
             self.n_added = built.n_added
             return built.n_added
-        for s in range(self.shards):
-            occ_idx, occ_slot = np.nonzero(built.tags[s])
-            for idx, slot in zip(occ_idx.tolist(), occ_slot.tolist()):
-                tg = int(built.tags[s, idx, slot])
-                # idx is one of the two homes; the other is alt(idx, tag)
-                if built.nbuckets == self.nbuckets:
-                    a, b = idx, int(
-                        self._alt(np.array([tg], np.uint16), np.array([idx]))[0]
-                    )
-                else:  # layout changed (regrow): no home to reuse
-                    raise RuntimeError(
-                        "absorb_df into a differently-sized cuckoo: rebuild "
-                        "via build_cuckoo_from_df instead"
-                    )
-                self._insert_one(s, tg, a, b)
-        self.n_added += built.n_added
+        self._splice(built)
         return built.n_added
+
+    def _splice(self, built: "ShardedCuckoo") -> None:
+        """Merge a same-layout filter's tags into this one in place."""
+        if built.nbuckets != self.nbuckets:  # layout changed (regrow):
+            raise RuntimeError(  # no home to reuse
+                "absorb_df into a differently-sized cuckoo: rebuild "
+                "via build_cuckoo_from_df instead"
+            )
+        for s in range(self.shards):
+            # vectorized bucket merge: order within a bucket never matters
+            # (lookup scans all 4 slots), so any bucket whose combined
+            # occupancy fits in SLOTS packs in one numpy pass — the per-tag
+            # kick loop runs only for the rare over-full buckets. The old
+            # tag-at-a-time splice was a serial driver loop over every
+            # fresh row, i.e. per-epoch Amdahl cost linear in batch size.
+            mine, new = self.tags[s], built.tags[s]
+            n_new = int(np.count_nonzero(new))
+            if n_new == 0:
+                continue
+            fits = (
+                np.count_nonzero(mine, axis=1) + np.count_nonzero(new, axis=1)
+                <= self.SLOTS
+            )
+            merged = np.concatenate([mine, new], axis=1)  # (nb, 2*SLOTS)
+            order = np.argsort(merged == 0, axis=1, kind="stable")
+            packed = np.take_along_axis(merged, order, axis=1)
+            mine[fits] = packed[fits, : self.SLOTS]
+            for idx in np.nonzero(~fits)[0].tolist():
+                row = new[idx]
+                for tg in row[row != 0].tolist():
+                    b = _alt_bucket(tg, idx, self.nbuckets)
+                    self._insert_one(s, tg, idx, b)
+        self.n_added += built.n_added
 
     def delete_df(self, df, fp_col: str = "fp") -> int:
         """Distributed delete: executors derive (shard, tag, i1, i2) per

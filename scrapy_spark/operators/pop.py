@@ -55,6 +55,48 @@ def salted_pretrim(
     )
 
 
+def global_seq(
+    df: DataFrame, order_cols: list[str], start: int, out_col: str = "seq"
+) -> DataFrame:
+    """Deterministic dense 1-based global sequence over ``order_cols``,
+    shifted by ``start`` — WITHOUT a single-partition global window.
+
+    ``Window.orderBy(...)`` with no partitioning funnels every row through
+    ONE task (Spark plans an Exchange SinglePartition); at millions of new
+    links per epoch that task is the epoch's serial bottleneck. Instead:
+    range-repartition on the order keys, rank within each partition, then
+    add per-partition offsets via a prefix sum over the (≤ partitions)-row
+    count table, broadcast back. Equal keys land in the same range
+    partition (RangePartitioner is key-based), so concatenating partitions
+    in pid order IS the global order, and the result is independent of
+    parallelism/partition count as long as ``order_cols`` totally order
+    the rows (ties only among fully identical rows — then seq values just
+    permute among identical rows).
+
+    Cost: one range shuffle + a tiny broadcast; every stage parallel.
+    """
+    keys = [F.asc(c) for c in order_cols]
+    d = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*keys)
+    d = d.withColumn("__rn", F.row_number().over(w_local))
+    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # prefix sum over ≤ shuffle-partition-count rows: trivially small
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn(
+            out_col,
+            (F.col("__rn") + F.col("__off") + F.lit(start - 1)).cast("long"),
+        )
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 def rank_and_pop(
     eligible: DataFrame,
     cfg: CrawlConfig,

@@ -38,6 +38,18 @@ COMPACT_EVERY = 8
 MAX_BASE_FILES = 64
 
 
+def _commit_pool():
+    """Thread pool for intra-commit materializations (parquet writes /
+    eager checkpoints of INDEPENDENT tables). Spark's scheduler accepts
+    concurrent job submissions from driver threads; overlapping them
+    turns the commit's per-table fixed cost (job launch + small write)
+    from a sum into a max — on a cluster this is the same win, since
+    each table's job is tiny and the launches dominate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    return ThreadPoolExecutor(max_workers=8)
+
+
 def _key_cols(key) -> list[str]:
     """Normalize a mutate-table key (str or list of column names) to a
     list — anti-joins, selects, and manifests all take the list form."""
@@ -198,9 +210,36 @@ class ParquetStore(Store):
         return {"key": key, "base": base, "dels": [], "ins": []}
 
     def commit(self, epoch, replace, append, scalars, mutate=None, resolved=None) -> None:
+        # All per-table parquet writes are independent — run them
+        # CONCURRENTLY so the commit's wall time is the slowest write, not
+        # the sum (the serial loop was pure per-epoch Amdahl cost: each
+        # write is a full Spark job and a commit touches 5–8 tables).
+        # Atomicity is untouched: the manifest swap below remains the
+        # single commit point; a failed write raises before the swap and
+        # leaves only orphan dirs, exactly like the serial path.
+        writes: dict[tuple, object] = {}
+        with _commit_pool() as ex:
+            for name, df in replace.items():
+                writes[("r", name)] = ex.submit(self._write, epoch, name, df)
+            for name, df in append.items():
+                # MOR tables record appends as inserts (dir name cosmetic)
+                is_mor = isinstance(
+                    self._manifest["tables"].get(name), dict
+                ) and name not in replace
+                writes[("a", name)] = ex.submit(
+                    self._write, epoch, name + ("_ins" if is_mor else ""), df
+                )
+            for name, (key, dels, ins) in (mutate or {}).items():
+                writes[("d", name)] = ex.submit(
+                    self._write, epoch, f"{name}_del", dels
+                )
+                writes[("i", name)] = ex.submit(
+                    self._write, epoch, f"{name}_ins", ins
+                )
+            paths = {k: f.result() for k, f in writes.items()}
         tables = dict(self._manifest["tables"])
         for name, df in replace.items():
-            tables[name] = [self._write(epoch, name, df)]
+            tables[name] = [paths[("r", name)]]
         for name, df in append.items():
             # caller guarantees df is non-empty (skip-empty handled upstream)
             prev = tables.get(name)
@@ -210,12 +249,10 @@ class ParquetStore(Store):
                 # here would have silently flattened the dict to its keys
                 entry = {k: list(v) if isinstance(v, list) else v
                          for k, v in prev.items()}
-                entry["ins"] = entry["ins"] + [
-                    self._write(epoch, f"{name}_ins", df)
-                ]
+                entry["ins"] = entry["ins"] + [paths[("a", name)]]
                 tables[name] = entry
             else:
-                tables[name] = list(prev or []) + [self._write(epoch, name, df)]
+                tables[name] = list(prev or []) + [paths[("a", name)]]
         for name, (key, dels, ins) in (mutate or {}).items():
             prev = tables.get(name)
             if isinstance(prev, list):  # promote a replace-table to MOR
@@ -224,8 +261,8 @@ class ParquetStore(Store):
                 entry = {k: list(v) if isinstance(v, list) else v
                          for k, v in (prev or {"key": key, "base": [],
                                                "dels": [], "ins": []}).items()}
-            entry["dels"].append(self._write(epoch, f"{name}_del", dels))
-            entry["ins"].append(self._write(epoch, f"{name}_ins", ins))
+            entry["dels"].append(paths[("d", name)])
+            entry["ins"].append(paths[("i", name)])
             if len(entry["dels"]) >= COMPACT_EVERY:
                 entry = self._compact(epoch, name, entry, (resolved or {}).get(name))
             tables[name] = entry
@@ -289,12 +326,29 @@ class MemoryStore(Store):
         return df
 
     def commit(self, epoch, replace, append, scalars, mutate=None, resolved=None) -> None:
+        # materialize every table's checkpoint CONCURRENTLY (independent
+        # jobs; see _commit_pool) — the serial loop paid one full job
+        # launch per table per epoch
+        ckpt: dict[tuple, object] = {}
+        with _commit_pool() as ex:
+            for name, df in replace.items():
+                ckpt[("r", name)] = ex.submit(df.localCheckpoint, True)
+            for name, df in append.items():
+                ckpt[("a", name)] = ex.submit(df.localCheckpoint, True)
+            for name, (key, dels, ins) in (mutate or {}).items():
+                src = (resolved or {}).get(name)
+                if src is not None:
+                    ckpt[("s", name)] = ex.submit(src.localCheckpoint, True)
+                else:
+                    ckpt[("d", name)] = ex.submit(dels.localCheckpoint, True)
+                    ckpt[("i", name)] = ex.submit(ins.localCheckpoint, True)
+            done = {k: f.result() for k, f in ckpt.items()}
         for name, df in replace.items():
-            self._tables[name] = df.localCheckpoint(eager=True)
+            self._tables[name] = done[("r", name)]
             self._parts.pop(name, None)  # replace resets any deltas
             self._mor.pop(name, None)
         for name, df in append.items():
-            ck = df.localCheckpoint(eager=True)
+            ck = done[("a", name)]
             if name in self._mor:
                 # MOR tables absorb appends as inserts — reads of a MOR
                 # table never consult _parts, so parking the delta there
@@ -310,7 +364,7 @@ class MemoryStore(Store):
                 # checkpointed directly — one materialization per epoch,
                 # no delta chain to re-read (the MOR durability story is
                 # ParquetStore's; this store measures the scheduling core)
-                self._tables[name] = src.localCheckpoint(eager=True)
+                self._tables[name] = done[("s", name)]
                 self._parts.pop(name, None)  # resolved subsumes deltas
                 self._mor.pop(name, None)
                 continue
@@ -329,8 +383,8 @@ class MemoryStore(Store):
                 for p in pieces[1:]:
                     base = base.unionByName(p)
                 k, dl, il = key, [], []
-            dl = dl + [dels.localCheckpoint(eager=True)]
-            il = il + [ins.localCheckpoint(eager=True)]
+            dl = dl + [done[("d", name)]]
+            il = il + [done[("i", name)]]
             if len(dl) >= COMPACT_EVERY:
                 base = self._resolve_mor(k, base, dl, il).localCheckpoint(eager=True)
                 dl, il = [], []

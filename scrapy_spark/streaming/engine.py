@@ -508,7 +508,7 @@ class CrawlEngine:
                 # (set_cookie, cookie_header) — filled as nulls; cached
                 # responses do not re-run the cookies middleware
                 fetched = fetched.unionByName(hits, allowMissingColumns=True)
-            n_cache_hits = hits.count()
+            # count deferred to the batched stats action ("cachehit" tag)
         fetched = fetched.withColumn("partition_id", F.spark_partition_id()).cache()
         # status 0 = network/transport error (http backend) — retryable,
         # like the reference's connection-error path (retry.py ≈L40);
@@ -855,11 +855,18 @@ class CrawlEngine:
         fresh = anti_join_seen(
             batch_unique, url_seen, self.bloom, n_candidates=n_filterable
         ).cache()
-        if self.bloom is not None:
+
+        def _absorb_fresh() -> int:
+            # runs CONCURRENTLY with the batched stats action below (the
+            # two jobs touch independent driver state; racing to fill the
+            # `fresh` cache is safe) — overlapping them removes one full
+            # sequential job launch per epoch
+            if self.bloom is None:
+                return fresh.count()
             # one action: the executor-side bloom absorb's treeReduce
             # doubles as the fresh-row count (no fp ever hits the driver)
             try:
-                n_fresh = self.bloom.absorb_df(fresh.select("fp"))
+                return self.bloom.absorb_df(fresh.select("fp"))
             except Exception as absorb_err:  # noqa: BLE001
                 # an epoch whose fresh batch exceeds the post-commit
                 # regrow's ~10% headroom over-fills the cuckoo mid-absorb
@@ -899,10 +906,7 @@ class CrawlEngine:
                     )
                 else:  # pragma: no cover - bloom absorbs never raise
                     raise
-        else:
-            n_fresh = fresh.count()
-        n_dupes = n_filterable - n_fresh
-        trace('dedupe+seen')
+                return n_fresh
 
         # retries (SEMANTICS 7): dont_filter=True, priority adjusted
         retries = (
@@ -927,11 +931,18 @@ class CrawlEngine:
         )
         fresh_links = fresh.select(*cand_cols).unionByName(bypass.select(*cand_cols))
 
-        # SEMANTICS 8f: deterministic seq assignment on the (small) batch
-        w_seq = Window.orderBy("kind", "parent_seq", "url_canon", "url")
+        # SEMANTICS 8f: deterministic seq assignment — a DISTRIBUTED dense
+        # rank (operators/pop.py global_seq): the old single-partition
+        # Window.orderBy funneled every new link of the epoch through one
+        # task, the epoch's serial bottleneck at cluster batch sizes
+        from ..operators.pop import global_seq
+
         new_rows = (
-            retries.unionByName(fresh_links)
-            .withColumn("seq", (F.row_number().over(w_seq) + F.lit(next_seq - 1)).cast("long"))
+            global_seq(
+                retries.unionByName(fresh_links),
+                ["kind", "parent_seq", "url_canon", "url"],
+                start=next_seq,
+            )
             .withColumn("epoch_added", F.lit(e))
             .withColumn("status", F.lit("QUEUED"))
             .select(*FRONTIER_COLS)
@@ -986,6 +997,10 @@ class CrawlEngine:
             stat_frames.append(
                 _tag(new_domain_urls.agg(F.count(F.lit(1)).alias("n")), "newdom")
             )
+        if hits is not None:
+            stat_frames.append(
+                _tag(hits.agg(F.count(F.lit(1)).alias("n")), "cachehit")
+            )
         batched = stat_frames[0]
         for sf_ in stat_frames[1:]:
             batched = batched.unionByName(sf_)
@@ -993,7 +1008,17 @@ class CrawlEngine:
         outcome_counts: dict[tuple[int, str], int] = {}
         part_counts: dict[int, int] = {}
         drop_counts: dict[str, int] = {}
-        for r in batched.collect():
+        # the seen-filter absorb and the stats action are independent —
+        # overlap them (one fewer sequential job launch per epoch)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _absorb_fut = _pool.submit(_absorb_fresh)
+            stat_rows = batched.collect()
+            n_fresh = _absorb_fut.result()
+        n_dupes = n_filterable - n_fresh
+        trace('dedupe+seen')
+        for r in stat_rows:
             t, n = r["t"], int(r["n"])
             if t == "popped":
                 n_popped = n
@@ -1003,6 +1028,8 @@ class CrawlEngine:
                 queued_after = n
             elif t == "newdom":
                 n_newdom = n
+            elif t == "cachehit":
+                n_cache_hits = n
             elif t == "drop":
                 drop_counts[r["k1"]] = n
             elif t == "fetched":

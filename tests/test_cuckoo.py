@@ -70,6 +70,29 @@ def test_distributed_build_matches_driver_insertion(spark):
     assert built.maybe_contains(probes).mean() <= 6e-4
 
 
+def test_splice_high_load_hits_overflow_buckets():
+    """The vectorized bucket-merge splice at ~85% combined load: over-full
+    buckets must take the kick path, and membership must stay exact for
+    every key from BOTH sides (no false negatives), with deletes still
+    finding one stored copy per key afterwards."""
+    a = ShardedCuckoo(capacity=100_000, shards=8)
+    fa = _fps("sp-a", 50_000)
+    a.add_many(fa)
+    b = ShardedCuckoo(capacity=100_000, shards=8)
+    fb = _fps("sp-b", 35_000)
+    b.add_many(fb)
+    # combined per-bucket occupancy must exceed SLOTS somewhere, or the
+    # test isn't exercising the overflow/kick branch
+    occ = np.count_nonzero(a.tags, axis=2) + np.count_nonzero(b.tags, axis=2)
+    assert (occ > ShardedCuckoo.SLOTS).any()
+    a._splice(b)
+    assert a.n_added == len(fa) + len(fb)
+    assert a.maybe_contains(fa).all()
+    assert a.maybe_contains(fb).all()
+    assert a.maybe_contains(_fps("sp-miss", 10_000)).mean() <= 6e-4
+    assert a.delete_many(fb[:2_000]) == 2_000
+
+
 def test_absorb_df_and_delete_df(spark):
     cf = ShardedCuckoo(capacity=50_000)
     first = _fps("a", 5_000)

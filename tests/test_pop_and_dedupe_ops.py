@@ -119,3 +119,43 @@ def test_distributed_bloom_build_matches_driver_build(spark):
 
     empty = spark.createDataFrame([], "fp binary")
     assert build_bloom_from_df(empty, capacity=100_000).n_added == 0
+
+
+def test_global_seq_matches_single_partition_window(spark):
+    """global_seq ≡ the single-partition Window.orderBy rank it replaced,
+    at every parallelism: same (key → seq) mapping, dense from `start`,
+    including duplicate keys and nulls in the order columns."""
+    from pyspark.sql import Window
+
+    from scrapy_spark.operators.pop import global_seq
+
+    random.seed(11)
+    rows = [
+        (
+            random.choice([0, 1, 2]),
+            random.choice([None, -1, 5, 17, 123456]),
+            f"http://d{random.randrange(40)}.example/p/{random.randrange(500)}",
+        )
+        for _ in range(5_000)
+    ]
+    rows += rows[:50]  # exact duplicate rows: ties must stay harmless
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(
+            rows, "kind int, parent_seq long, url string"
+        ).repartition(parts)
+        got = global_seq(df, ["kind", "parent_seq", "url"], start=1000)
+        w = Window.orderBy(
+            F.asc("kind"), F.asc("parent_seq"), F.asc("url")
+        )
+        want = df.withColumn(
+            "seq", (F.row_number().over(w) + F.lit(999)).cast("long")
+        )
+        key = lambda r: (
+            r["kind"],
+            r["parent_seq"] if r["parent_seq"] is not None else -(1 << 62),
+            r["url"],
+            r["seq"],
+        )
+        assert sorted(map(key, got.collect())) == sorted(
+            map(key, want.collect())
+        )

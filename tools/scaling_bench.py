@@ -86,6 +86,11 @@ def build_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # long-running driver: cap status-store retention (each retained
+        # SQL execution pins its plan graph; epoch plans are deep)
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "64")
+        .config("spark.ui.retainedStages", "128")
         # tmpfs shuffle dir: the sandbox's /tmp sits on a slow virtio disk
         # whose fixed bandwidth flattens shuffle scaling; RAM-backed local
         # dirs restore the disk bandwidth a real cluster's executors have.

@@ -75,7 +75,16 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("scrapy-spark-crawl").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("scrapy-spark-crawl")
+        # a crawl driver runs for days; cap status-store retention so
+        # dead execution/stage bookkeeping (each retained SQL execution
+        # pins its full plan graph) can't grow the heap without bound
+        .config("spark.sql.ui.retainedExecutions", "16")
+        .config("spark.ui.retainedJobs", "128")
+        .config("spark.ui.retainedStages", "256")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     from scrapy_spark.config import CrawlConfig
