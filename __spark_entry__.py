@@ -569,6 +569,34 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (datapipe/packing.py pack_spans): the GPT-style
+    concat-and-chunk packer — per document, its global token offset in
+    the doc_id-ordered concatenated stream and the span of 512-token
+    training chunks it occupies. The prefix sum is the distributed
+    range-partition + broadcast-offsets construction (never a
+    single-partition window); all-integer outputs, bit-deterministic
+    across engines and parallelism levels."""
+    from scrapy_spark.datapipe.packing import pack_spans
+
+    return pack_spans(_t(spark, sf_dir, "documents"), budget=512)
+
+
+def q_semdedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (datapipe/semdedup.py, Abbas et al. 2023): k-means-cell-
+    restricted near-dup detection over the jitter-augmented embedding
+    corpus — assignment to the deterministic lowest-id seed codebook
+    (SQL-replayable, so the WHOLE pipeline is value-oracled: assignment
+    argmax, within-cell pair join, transitive representative labels),
+    within-cell cosine ≥ 0.99, connected-components reps. The trained-
+    codebook path (train_centroids + one matmul per Arrow batch) is
+    property-tested in tests/test_semdedup_packing.py."""
+    from scrapy_spark.datapipe.semdedup import semdedup_reps
+
+    corpus = _jittered_corpus(_t(spark, sf_dir, "embeddings"))
+    return semdedup_reps(corpus, ncells=8, threshold=0.99)
+
+
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check (datapipe/contamination.py): every
     50th document plays the eval set; corpus docs sharing an 8-token
@@ -1072,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_heuristic_rules": q_quality_heuristic_rules,
         "dedup_span_stats": q_dedup_span_stats,
         "text_top_terms": q_text_top_terms,
+        "pack_sequences": q_pack_sequences,
+        "semdedup_reps": q_semdedup_reps,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
@@ -1847,6 +1877,72 @@ def oracle_sql() -> dict[str, str]:
               FROM reach r JOIN edges e ON r.id = e.b
             )
             SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS rep_id
+            FROM reach GROUP BY id
+        """,
+        "pack_sequences": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS BIGINT) AS n_tok
+              FROM documents),
+            nz AS (SELECT * FROM toks WHERE n_tok > 0),
+            c AS (
+              SELECT doc_id, n_tok,
+                     CAST(coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS tok_start
+              FROM nz)
+            SELECT doc_id, n_tok, tok_start,
+                   CAST(floor(tok_start / 512) AS BIGINT) AS first_chunk,
+                   CAST(floor((tok_start + n_tok - 1) / 512) AS BIGINT)
+                     AS last_chunk,
+                   CAST(floor((tok_start + n_tok - 1) / 512)
+                        - floor(tok_start / 512) + 1 AS BIGINT) AS n_chunks
+            FROM c
+        """,
+        "semdedup_reps": """
+            WITH RECURSIVE base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            jit AS (
+              SELECT vec_id + 10000 AS vec_id,
+                     list_transform(v, (x, i) ->
+                       x * (CAST(1.0 AS DOUBLE) + CAST(0.05 AS DOUBLE)
+                            * ((((i - 1) % 2) * 2) - 1))) AS v
+              FROM base WHERE vec_id < 100),
+            corpus AS (SELECT * FROM base UNION ALL SELECT * FROM jit),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     v AS cvec
+              FROM corpus ORDER BY vec_id LIMIT 8),
+            scored AS (
+              SELECT c.vec_id, c.v,
+                     sqrt(list_dot_product(c.v, c.v)) AS nrm, ct.cell,
+                     round(list_dot_product(c.v, ct.cvec) /
+                           (sqrt(list_dot_product(c.v, c.v)) *
+                            sqrt(list_dot_product(ct.cvec, ct.cvec))), 4)
+                       AS cos
+              FROM corpus c CROSS JOIN cent ct),
+            assign AS (
+              SELECT vec_id, v, nrm, cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, cell ASC) AS rn FROM scored)
+              WHERE rn = 1),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM assign a JOIN assign b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+                    >= 0.99),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, comp) AS (
+              SELECT id, id AS comp FROM nodes
+              UNION
+              SELECT e.a AS id, r.comp FROM reach r JOIN edges e ON r.id = e.b)
+            SELECT id AS vec_id, CAST(min(comp) AS BIGINT) AS rep_id
             FROM reach GROUP BY id
         """,
         "text_contamination": f"""

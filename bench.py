@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "quality_heuristic_rules",
     "dedup_span_stats",
     "text_top_terms",
+    "pack_sequences",
+    "semdedup_reps",
     "doc_winnow_fingerprints",
     "request_identity",
     "crawl_frontier_pop",

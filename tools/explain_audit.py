@@ -183,11 +183,45 @@ def main() -> int:
             ["BroadcastHashJoin"],
             list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
         ),
+        # pack_sequences: the distributed prefix sum must be a RANGE
+        # exchange + per-partition windows + a broadcast offsets join.
+        # (A SinglePartition exchange still appears — over the ≤nparts-row
+        # per-partition COUNTS table, not the data; that's the intended
+        # tiny prefix-sum, same as operators/pop.py::global_seq.)
+        (
+            "pack_sequences",
+            ["rangepartitioning", "BroadcastHashJoin"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
+        ),
+        # semdedup: the k-row codebook broadcast-cross-joins the corpus
+        # ON PURPOSE (n×8 scored rows, collapsed map-side by max_by), so
+        # BroadcastNestedLoopJoin is the intended join here — forbid only
+        # the non-broadcast cross product and any Python eval; the
+        # within-cell pair stage must hash-join (SortMergeJoin/ShuffledHash
+        # on the cell id). Audited at the PAIR stage: the registered
+        # semdedup_reps query ends in connected_components, whose eager
+        # localCheckpoint truncates the visible lineage.
+        # (max_by over a struct plans as SortAggregate — partial before
+        # the exchange either way, which is the property that matters)
+        (
+            "semdedup_pairs",
+            ["BroadcastExchange", "Aggregate"],
+            ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+        ),
     ]
+
+    def _semdedup_pairs(spark, sf_dir):
+        from scrapy_spark.datapipe.semdedup import semdedup_pairs
+        from __spark_entry__ import _jittered_corpus, _t
+
+        corpus = _jittered_corpus(_t(spark, sf_dir, "embeddings"))
+        return semdedup_pairs(corpus, ncells=8, threshold=0.99)
+
+    extra = {"semdedup_pairs": _semdedup_pairs}
 
     sections, failures = [], []
     for name, must, must_not in checks:
-        df = qs[name](spark, sf_dir)
+        df = (qs.get(name) or extra[name])(spark, sf_dir)
         plan = plan_of(df)
         for needle in must:
             if needle not in plan:
