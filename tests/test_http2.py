@@ -223,6 +223,10 @@ def test_h2_over_tls_alpn_end_to_end(spark, tmp_path):
 
     from scrapy_spark.operators.netfetch import http_fetch
 
+    # TLS paths use 30s timeouts: the loopback server is a GIL-bound
+    # Python thread, and a fully saturated 32-core host can starve the
+    # handshake past 10s (observed once in a full-suite run concurrent
+    # with a bench session — SSL EOF at _ssl.c:2580, passes alone).
     cert_pem, key_pem = _make_self_signed(tmp_path)
     srv = H2Server(_handler, tls=(cert_pem, key_pem))
     try:
@@ -231,7 +235,7 @@ def test_h2_over_tls_alpn_end_to_end(spark, tmp_path):
         ctx = _ssl.create_default_context(cafile=cert_pem)
         ctx.set_alpn_protocols(["h2"])
         conn = H2Connection(
-            "127.0.0.1", srv.port, timeout_s=10.0, ssl_context=ctx
+            "127.0.0.1", srv.port, timeout_s=30.0, ssl_context=ctx
         )
         assert conn.scheme == "https"
         status, body, headers, sc, err = conn.request(
@@ -242,7 +246,7 @@ def test_h2_over_tls_alpn_end_to_end(spark, tmp_path):
 
         # pool + Spark operator path: https scheme routes through TLS,
         # still ONE connection for many rows
-        pool = H2Pool(timeout_s=10.0, ca_file=cert_pem)
+        pool = H2Pool(timeout_s=30.0, ca_file=cert_pem)
         base = f"https://127.0.0.1:{srv.port}"
         status, body, *_r, err = pool.fetch(f"{base}/echo/pool")
         assert (status, body, err) == (200, b"pool", None)
@@ -254,7 +258,7 @@ def test_h2_over_tls_alpn_end_to_end(spark, tmp_path):
             "fp binary, url string, slot string",
         ).coalesce(1)
         out = http_fetch(
-            reqs, transport="h2c", timeout_s=10.0, ca_file=cert_pem
+            reqs, transport="h2c", timeout_s=30.0, ca_file=cert_pem
         ).collect()
         assert all(r.status == 200 and bytes(r.body) == bytes(r.fp)
                    for r in out)
