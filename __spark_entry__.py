@@ -569,6 +569,16 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report (datapipe/text.py corpus_mix): per
+    source, doc/token counts, exact integer-ppm token share, and the
+    cumulative-coverage rank table (dataset-card "top-N sources cover X%"
+    view). Integer division only — bit-deterministic across engines."""
+    from scrapy_spark.datapipe.text import corpus_mix
+
+    return corpus_mix(_t(spark, sf_dir, "documents"), group_col="source")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (datapipe/packing.py pack_spans): the GPT-style
     concat-and-chunk packer — per document, its global token offset in
@@ -1102,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_terms": q_text_top_terms,
         "pack_sequences": q_pack_sequences,
         "semdedup_reps": q_semdedup_reps,
+        "corpus_mix": q_corpus_mix,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
@@ -1878,6 +1889,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS rep_id
             FROM reach GROUP BY id
+        """,
+        "corpus_mix": """
+            WITH agg AS (
+              SELECT source AS bucket,
+                     count(*) AS n_docs,
+                     CAST(SUM(CAST(len(regexp_extract_all(lower(text),
+                         '[a-z0-9]+')) AS BIGINT)) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            tot AS (SELECT SUM(n_tokens) AS total FROM agg)
+            SELECT bucket, n_docs, n_tokens,
+                   CAST(n_tokens * 1000000 // total AS BIGINT) AS tok_ppm,
+                   CAST(row_number() OVER (ORDER BY n_tokens DESC, bucket ASC)
+                        AS BIGINT) AS rank,
+                   CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, bucket ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_tokens
+            FROM agg CROSS JOIN tot
         """,
         "pack_sequences": """
             WITH toks AS (

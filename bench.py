@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "text_top_terms",
     "pack_sequences",
     "semdedup_reps",
+    "corpus_mix",
     "doc_winnow_fingerprints",
     "request_identity",
     "crawl_frontier_pop",

@@ -243,9 +243,58 @@ def top_terms(
     )
 
 
+def corpus_mix(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-composition report: per ``group_col`` bucket (source,
+    domain, language, …) its document count, token count, token share in
+    exact integer parts-per-million, and the cumulative token coverage
+    in descending-token rank order — the "what fraction of the corpus do
+    the top-N sources cover" table every dataset card publishes.
+
+    Shares use integer division (n_tokens·10⁶ div total) so the output
+    is bit-deterministic across engines — no float rounding boundary.
+
+    Scale shape: one scan + map-side-combining hash-agg down to one row
+    per bucket; the rank/cumsum windows then run over that aggregate
+    (thousands of rows at web scale — the deliberate exception to the
+    no-single-partition-window rule, on post-aggregation data only)."""
+    agg = (
+        df.select(F.col(group_col).alias("bucket"), tokens(F.col(text_col)).alias("__t"))
+        .select("bucket", F.size("__t").cast("long").alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_tokens"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy(F.desc("n_tokens"), F.asc("bucket"))
+    return (
+        agg.withColumn("__total", F.sum("n_tokens").over(w_all))
+        .withColumn(
+            "tok_ppm",
+            F.expr("CAST(n_tokens * 1000000 DIV __total AS BIGINT)"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens")
+            .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .select(
+            "bucket", "n_docs", "n_tokens", "tok_ppm", "rank", "cum_tokens"
+        )
+    )
+
+
 __all__ = [
     "tokens",
     "token_stats",
+    "corpus_mix",
     "quality_score",
     "lang_id",
     "token_count_estimate",

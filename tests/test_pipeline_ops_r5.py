@@ -97,3 +97,22 @@ def test_top_terms_integer_rarity_ranking(spark):
     r2 = sorted(by_doc[2], key=lambda r: r.rank)
     assert [r.term for r in r2] == ["rare2", "shared"]
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_corpus_mix_ground_truth(spark):
+    from scrapy_spark.datapipe.text import corpus_mix
+
+    rows = [
+        (1, "a b c", "s1"),
+        (2, "d e", "s1"),
+        (3, "f g h i", "s2"),
+        (4, "j", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.bucket: r for r in corpus_mix(df).collect()}
+    # tokens: s1=5, s2=4, s3=1, total=10
+    assert (out["s1"].n_docs, out["s1"].n_tokens) == (2, 5)
+    assert out["s1"].tok_ppm == 500000 and out["s1"].rank == 1
+    assert out["s2"].tok_ppm == 400000 and out["s2"].rank == 2
+    assert out["s3"].tok_ppm == 100000 and out["s3"].rank == 3
+    assert (out["s1"].cum_tokens, out["s2"].cum_tokens, out["s3"].cum_tokens) == (5, 9, 10)
