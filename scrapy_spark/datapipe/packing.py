@@ -52,6 +52,12 @@ def running_offset(
     d = df.repartitionByRange(F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # Pin ONE materialization before the counts subplan and the probe side
+    # consume __pid — re-instantiated range exchanges can sample different
+    # bounds / coalesce differently under AQE, making __pid disagree
+    # between the join sides and silently dropping rows (see
+    # operators/pop.py::global_seq, same pattern and full rationale).
+    d = d.localCheckpoint(eager=True)
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(F.asc(order_col))

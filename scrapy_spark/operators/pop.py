@@ -74,11 +74,25 @@ def global_seq(
     permute among identical rows).
 
     Cost: one range shuffle + a tiny broadcast; every stage parallel.
+
+    The ``(rows, __pid)`` frame is PINNED (eager ``localCheckpoint``)
+    before the counts subplan and the probe side consume it. Without the
+    pin each side re-instantiates the range exchange independently, and
+    the two instantiations need not agree: the RangePartitioner's sample
+    seeds derive from the child's runtime partition layout, which AQE
+    re-plans per query from runtime stats — so the sampled bounds (and
+    AQE's post-shuffle coalescing) can differ between the two plans.
+    ``__pid`` then means different things on the two join sides and the
+    inner join silently drops or mis-offsets rows (observed: ~95k of 177k
+    epoch links lost at ``local[8]``, parallelism-dependent). The pin
+    makes both sides read one materialization; it costs one batch-sized
+    checkpoint, freed by the ContextCleaner when the plan is dropped.
     """
     keys = [F.asc(c) for c in order_cols]
     d = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
+    d = d.localCheckpoint(eager=True)
     w_local = Window.partitionBy("__pid").orderBy(*keys)
     d = d.withColumn("__rn", F.row_number().over(w_local))
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))

@@ -49,6 +49,9 @@ class EpochStats:
     failed: int
     fresh: int
     queued_after: int
+    # rows appended to the frontier this epoch (retries + fresh + redirect
+    # re-entries) — lets run() enforce frontier row conservation
+    enqueued: int = 0
 
 
 class CrawlEngine:
@@ -348,8 +351,26 @@ class CrawlEngine:
         cfg = self.cfg
         limit = max_epochs if max_epochs is not None else cfg.max_epochs
         start = self.store.epoch + 1
+        prev_q = self.stats_log[-1].queued_after if self.stats_log else None
         for e in range(start, start + limit):
             stats = self.run_epoch(e)
+            # Frontier row conservation: rows only leave by being popped or
+            # robots-denied and only enter via enqueued (retries + fresh +
+            # redirect re-entries). A mismatch means a frontier delta was
+            # silently lost or duplicated between the stats action and the
+            # commit (this invariant caught the global_seq pid-join row
+            # loss); fail the crawl rather than diverge quietly.
+            if prev_q is not None:
+                expected = prev_q - stats.popped - stats.denied + stats.enqueued
+                if stats.queued_after != expected:
+                    raise RuntimeError(
+                        f"frontier conservation violated at epoch {e}: "
+                        f"queued_after={stats.queued_after} but "
+                        f"{prev_q} - popped {stats.popped} - denied "
+                        f"{stats.denied} + enqueued {stats.enqueued} "
+                        f"= {expected}"
+                    )
+            prev_q = stats.queued_after
             self.stats_log.append(stats)
             if cfg.seen_ttl_epochs > 0:
                 # rows added at epoch a expire once e - a >= ttl
@@ -1214,4 +1235,5 @@ class CrawlEngine:
             failed=n_failed,
             fresh=n_fresh,
             queued_after=queued_after,
+            enqueued=n_new,
         )

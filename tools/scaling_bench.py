@@ -338,6 +338,21 @@ def _spawn_worker(
     return json.loads(line)
 
 
+def _assert_same_work(samples: list[dict], key: str) -> None:
+    """A scaling ratio is only meaningful if every sample at every level
+    did IDENTICAL work. The job is deterministic by design, so any spread
+    in the work counter means parallelism-dependent row loss (this guard
+    exists because the r5 global_seq pid-join bug silently dropped ~40%
+    of epoch links at one level and the efficiency number looked fine)."""
+    vals = {s[key] for s in samples}
+    if len(vals) > 1:
+        raise SystemExit(
+            f"scaling bench invalid: '{key}' differs across samples "
+            f"({sorted(vals)}) — the job is not deterministic across "
+            f"parallelism levels; fix that before trusting any ratio"
+        )
+
+
 def orchestrate(job: str = "core") -> None:
     n_urls = int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "4000000"))
     levels = [
@@ -361,6 +376,7 @@ def orchestrate(job: str = "core") -> None:
                 if cur is None or res["elapsed_sec"] < cur["elapsed_sec"]:
                     best_e[cpus] = res
         results = [best_e[c] for c in sorted(best_e)]
+        _assert_same_work(samples_e, "processed")
         lo, hi = results[0], results[-1]
         ratio = hi["urls_per_sec"] / lo["urls_per_sec"]
         core_factor = hi["cpus"] / lo["cpus"]
@@ -420,6 +436,7 @@ def orchestrate(job: str = "core") -> None:
                 if cur is None or res["elapsed_sec"] < cur["elapsed_sec"]:
                     best[cpus] = res
     results = [best[c] for c in sorted(best)]
+    _assert_same_work(samples, "popped")
     for r in results:
         r["urls_per_sec"] = round(r["urls"] / r["elapsed_sec"], 1)
 
