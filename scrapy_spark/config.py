@@ -171,6 +171,12 @@ class CrawlConfig:
     # HTTPCACHE_ENABLED — cache replay skips politeness delay, so the
     # parity contract is defined with it disabled) --------------------
     httpcache_enabled: bool = False
+    # HTTPCACHE_POLICY analog: "dummy" (DummyPolicy — every stored 200
+    # replays unconditionally, the upstream default) or "rfc2616"
+    # (RFC2616Policy — HTTP freshness: fresh entries replay, stale ones
+    # with validators revalidate via conditional GET and a 304 serves
+    # the stored body, no-store responses are never cached)
+    httpcache_policy: str = "dummy"
 
     # --- autothrottle (ref: extensions/throttle.py; default off like
     # AUTOTHROTTLE_ENABLED — parity runs use fixed fixture delays) -----

@@ -472,12 +472,18 @@ class H2Server:
         while self._accepting:
             try:
                 conn, _ = self.sock.accept()
+            except OSError:
+                return  # listener closed
+            try:
                 if self._tls_ctx is not None:
                     conn = self._tls_ctx.wrap_socket(conn, server_side=True)
             except OSError:
-                return
-            except ssl.SSLError:
-                continue  # a failed handshake must not kill the listener
+                # a failed/aborted handshake must not kill the listener —
+                # NOTE ssl.SSLError IS an OSError, so this clause must be
+                # separate from the accept() one above (a single client
+                # timing out mid-handshake under host load used to return
+                # here and EOF every later connection)
+                continue
             with self._lock:
                 self.connections += 1
             threading.Thread(

@@ -87,35 +87,57 @@ def split_http_cache_hits(
     if http_cache is None:
         return None, popped
 
-    cached = (
-        http_cache.filter(F.col("status") == 200)
+    cached = _latest_cached(http_cache, popped).select(
+        "fp", "c_status", "c_body", "c_content_type", "c_content_encoding",
+        "c_location",
+    )
+    hits = _replay_hits(popped, cached, epoch_ts)
+    misses = popped.join(F.broadcast(cached.select("fp")), "fp", "left_anti")
+    return hits, misses
+
+
+#: c_-prefixed response columns a replay/merge pulls from the cache table
+_C_COLS = (
+    "status", "body", "content_type", "content_encoding", "location",
+    "etag", "last_modified", "fresh_until",
+)
+
+
+def _latest_cached(http_cache: DataFrame, popped: DataFrame) -> DataFrame:
+    """Latest stored 200 per popped fp, response columns c_-prefixed.
+
+    Legacy cache tables (written before the RFC2616 policy existed) lack
+    the freshness columns — they surface as nulls, which the policy
+    reads as "stale, no validators" (unconditional refetch)."""
+    hc = http_cache
+    for col, typ in (
+        ("etag", "string"), ("last_modified", "string"),
+        ("fresh_until", "long"),
+    ):
+        if col not in hc.columns:
+            hc = hc.withColumn(col, F.lit(None).cast(typ))
+    return (
+        hc.filter(F.col("status") == 200)
         .join(F.broadcast(popped.select("fp")), "fp", "left_semi")
         .withColumn(
             "__rn",
             F.row_number().over(Window.partitionBy("fp").orderBy(F.desc("epoch"))),
         )
         .filter(F.col("__rn") == 1)
-        .select(
-            "fp",
-            F.col("status").alias("c_status"),
-            F.col("body").alias("c_body"),
-            F.col("content_type").alias("c_content_type"),
-            F.col("content_encoding").alias("c_content_encoding"),
-            F.col("location").alias("c_location"),
-        )
+        .select("fp", *[F.col(c).alias(f"c_{c}") for c in _C_COLS])
     )
-    hits = (
-        popped.drop("status")
-        .join(F.broadcast(cached), "fp", "inner")
-        .withColumn("status", F.col("c_status"))
-        .withColumn("body", F.col("c_body"))
-        .withColumn("content_type", F.col("c_content_type"))
-        .withColumn("content_encoding", F.col("c_content_encoding"))
-        .withColumn("location", F.col("c_location"))
-        .withColumn("latency_ms", F.lit(0).cast("long"))
-        .drop(
-            "c_status", "c_body", "c_content_type", "c_content_encoding", "c_location"
-        )
+
+
+def _replay_hits(popped: DataFrame, cached: DataFrame, epoch_ts: int) -> DataFrame:
+    """Shape cache rows into the ``engine_fetch`` output contract:
+    popped row columns + replayed response columns, latency 0,
+    ``from_cache=true`` (so the engine never re-appends a replay)."""
+    hits = popped.drop("status").join(F.broadcast(cached), "fp", "inner")
+    for c in ("status", "body", "content_type", "content_encoding", "location"):
+        hits = hits.withColumn(c, F.col(f"c_{c}"))
+    return (
+        hits.withColumn("latency_ms", F.lit(0).cast("long"))
+        .drop(*[c for c in hits.columns if c.startswith("c_")])
         .withColumn("redirect_to", F.lit(None).cast("string"))
         .withColumn(
             "image_id",
@@ -126,5 +148,104 @@ def split_http_cache_hits(
         .withColumn("fetched_at", F.lit(epoch_ts).cast("long"))
         .withColumn("from_cache", F.lit(True))
     )
-    misses = popped.join(F.broadcast(cached.select("fp")), "fp", "left_anti")
-    return hits, misses
+
+
+def split_rfc2616_cache(
+    popped: DataFrame,
+    http_cache: DataFrame | None,
+    epoch_ts: int,
+    now_wall: int,
+) -> tuple[DataFrame | None, DataFrame, DataFrame | None]:
+    """RFC2616Policy cache split (ref: extensions/httpcache.py::
+    RFC2616Policy ≈L120 — HTTP RFC 9111 freshness instead of the
+    DummyPolicy's replay-everything):
+
+    → ``(hits, to_fetch, merge_src)``
+    - **hits**: cached entries still FRESH at ``now_wall``
+      (``fresh_until`` ahead of the wall clock) — replayed without
+      touching the network, same shape as the dummy split.
+    - **to_fetch**: everything else. Stale entries that stored
+      validators carry ``cache_etag`` / ``cache_last_modified`` columns
+      (null on plain misses) — ``engine_fetch`` turns non-null values
+      into If-None-Match / If-Modified-Since conditional-GET headers.
+    - **merge_src**: the stale cached rows (c_-prefixed response
+      columns) ``merge_304`` needs to serve stored bodies for 304s.
+
+    ``fresh_until == -1`` marks a ``no-store`` response: it must never
+    be reused, so the row is treated as absent (can only exist in a
+    cache written by the dummy policy). Null freshness (legacy table)
+    reads as stale-without-validators → unconditional refetch.
+
+    Join strategy matches the dummy split: popped broadcasts, the
+    10^10-row cache streams (left-semi shrink, then the shrunken result
+    broadcasts back) — the cache is never shuffled."""
+    if http_cache is None:
+        return None, popped, None
+
+    cached = _latest_cached(http_cache, popped).filter(
+        F.col("c_fresh_until").isNull() | (F.col("c_fresh_until") != -1)
+    )
+    is_fresh = F.col("c_fresh_until").isNotNull() & (
+        F.col("c_fresh_until") > F.lit(int(now_wall))
+    )
+    fresh = cached.filter(is_fresh).select(
+        "fp", "c_status", "c_body", "c_content_type", "c_content_encoding",
+        "c_location",
+    )
+    hits = _replay_hits(popped, fresh, epoch_ts)
+
+    stale = cached.filter(~is_fresh)
+    validators = stale.filter(
+        F.col("c_etag").isNotNull() | F.col("c_last_modified").isNotNull()
+    ).select(
+        "fp",
+        F.col("c_etag").alias("cache_etag"),
+        F.col("c_last_modified").alias("cache_last_modified"),
+    )
+    to_fetch = popped.join(
+        F.broadcast(fresh.select("fp")), "fp", "left_anti"
+    ).join(F.broadcast(validators), "fp", "left")
+    return hits, to_fetch, stale
+
+
+def merge_304(fetched: DataFrame, merge_src: DataFrame | None) -> DataFrame:
+    """Fold 304 Not Modified revalidation responses back into the stored
+    response (ref RFC2616Policy — on 304 the middleware returns the
+    cached response, refreshed): the row keeps the revalidation fetch's
+    latency/lineage but serves the cached status/body/content columns,
+    re-derives image_id from the (merged) content type, and adopts the
+    304's own freshness (``fresh_until`` computed from the 304's
+    headers at fetch time; validators coalesce cached ones). The merged
+    row leaves with ``revalidated=true`` and ``from_cache`` unset, so
+    the engine re-appends it to the cache — the latest-epoch-wins read
+    makes that the RFC's "update the stored response" step."""
+    if merge_src is None:
+        return fetched.withColumn("revalidated", F.lit(False))
+    out = fetched.join(F.broadcast(merge_src), "fp", "left").withColumn(
+        "revalidated",
+        (F.col("status") == 304) & F.col("c_status").isNotNull(),
+    )
+    rv = F.col("revalidated")
+    for c in ("body", "content_type", "content_encoding"):
+        out = out.withColumn(c, F.when(rv, F.col(f"c_{c}")).otherwise(F.col(c)))
+    for c in ("etag", "last_modified"):
+        out = out.withColumn(
+            c, F.when(rv, F.coalesce(F.col(c), F.col(f"c_{c}"))).otherwise(F.col(c))
+        )
+    return (
+        out.withColumn(
+            "location", F.when(rv, F.lit(None).cast("string")).otherwise(F.col("location"))
+        )
+        .withColumn(
+            "redirect_to",
+            F.when(rv, F.lit(None).cast("string")).otherwise(F.col("redirect_to")),
+        )
+        .withColumn(
+            "image_id",
+            F.when(rv & is_image_response(), F.col("url_canon")).otherwise(
+                F.col("image_id")
+            ),
+        )
+        .withColumn("status", F.when(rv, F.col("c_status")).otherwise(F.col("status")))
+        .drop(*[c for c in out.columns if c.startswith("c_")])
+    )

@@ -59,8 +59,59 @@ FETCH_SCHEMA = T.StructType(
         T.StructField("latency_ms", T.LongType()),
         T.StructField("truncated", T.BooleanType()),
         T.StructField("error", T.StringType()),
+        # RFC 9111 cache metadata (HttpCacheMiddleware RFC2616 policy;
+        # ref: extensions/httpcache.py::RFC2616Policy ≈L120): validators
+        # + freshness computed AT FETCH TIME (the worker holds the raw
+        # headers and the response wall-clock, so the JVM replay side
+        # only ever compares two longs)
+        T.StructField("etag", T.StringType()),
+        T.StructField("last_modified", T.StringType()),
+        T.StructField("fetched_wall", T.LongType()),  # unix secs
+        T.StructField("fresh_until", T.LongType()),  # unix secs; -1 = no-store
     ]
 )
+
+
+def cache_freshness(lower: dict, now: float) -> tuple:
+    """(etag, last_modified, fetched_wall, fresh_until) from lowercase
+    response headers — the RFC 9111 freshness-lifetime computation the
+    reference's RFC2616Policy performs (extensions/httpcache.py
+    ≈L150): max-age beats Expires beats the Last-Modified heuristic
+    (10% of age, capped at a day); ``no-store`` → fresh_until = -1
+    (never persisted); ``no-cache`` / no information → lifetime 0
+    (stored, but every replay must revalidate)."""
+    import email.utils
+    import re as _re
+
+    etag = lower.get("etag")
+    last_mod = lower.get("last-modified")
+    cc = (lower.get("cache-control") or "").lower()
+    if "no-store" in cc:
+        return etag, last_mod, int(now), -1
+
+    def _http_date(v):
+        try:
+            return email.utils.parsedate_to_datetime(v).timestamp()
+        except Exception:
+            return None
+
+    date = _http_date(lower.get("date") or "") or now
+    lifetime = None
+    m = _re.search(r"max-age=(\d+)", cc)
+    if m:
+        lifetime = int(m.group(1))
+    if "no-cache" in cc:
+        lifetime = 0
+    if lifetime is None and "expires" in lower:
+        exp = _http_date(lower["expires"])
+        lifetime = max(0, int(exp - date)) if exp is not None else 0
+    if lifetime is None and last_mod is not None:
+        lm = _http_date(last_mod)
+        if lm is not None:
+            lifetime = min(max(0, int(0.1 * (date - lm))), 86_400)
+    if lifetime is None:
+        lifetime = 0
+    return etag, last_mod, int(now), int(now) + lifetime
 
 
 class _NoRedirect(urllib.request.HTTPRedirectHandler):
@@ -270,6 +321,9 @@ def http_fetch(
                     )
                 latency = int((time.monotonic() - t0) * 1000)
             lower = {k.lower(): v for k, v in headers.items()}
+            etag, last_mod, fetched_wall, fresh_until = cache_freshness(
+                lower, time.time()
+            )
             return (
                 fp,
                 url,
@@ -283,6 +337,10 @@ def http_fetch(
                 latency,
                 truncated,
                 error,
+                etag,
+                last_mod,
+                fetched_wall,
+                fresh_until,
             )
 
         with cf.ThreadPoolExecutor(max_workers=pool_size) as pool:
@@ -363,6 +421,14 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
         hdr_pairs.append(("Referer", F.col("referer")))
     if "cookie_header" in to_fetch.columns:
         hdr_pairs.append(("Cookie", F.col("cookie_header")))
+    # conditional-GET validators (RFC2616 cache policy revalidation;
+    # ref: extensions/httpcache.py ≈L180 — the policy attaches
+    # If-None-Match / If-Modified-Since from the stale cached response;
+    # null on non-revalidation rows ⇒ map_filter drops the header)
+    if "cache_etag" in to_fetch.columns:
+        hdr_pairs.append(("If-None-Match", F.col("cache_etag")))
+    if "cache_last_modified" in to_fetch.columns:
+        hdr_pairs.append(("If-Modified-Since", F.col("cache_last_modified")))
     if getattr(cfg, "http_user", None):
         import base64
 
@@ -422,12 +488,15 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
     ).select(
         F.col("fp").alias("__key"), "status", "body", "content_type",
         "content_encoding", "location", "set_cookie", "latency_ms",
-        "truncated",
+        "truncated", "etag", "last_modified", "fetched_wall", "fresh_until",
     )
     # the frontier's own `status` column ('QUEUED') is superseded by the
     # HTTP status, exactly as synthetic_fetch overwrites it
     joined = (
-        to_fetch.drop("status", "__req_headers", "__meta_proxy")
+        to_fetch.drop(
+            "status", "__req_headers", "__meta_proxy",
+            "cache_etag", "cache_last_modified",
+        )
         .join(raw, "__key")
         .drop("__key")
     )

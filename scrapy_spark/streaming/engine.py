@@ -474,6 +474,7 @@ class CrawlEngine:
         n_cache_hits = 0
         to_fetch = popped
         hits = None
+        reval_src = None  # rfc2616 policy: stale cached rows for merge_304
         if cfg.httpcache_enabled:
             if cfg.fetch_backend == "http":
                 # full-response replay (ref HttpCacheMiddleware — the
@@ -481,16 +482,29 @@ class CrawlEngine:
                 # the store's own http_cache table plus any carried-over
                 # cache from a previous run (Scrapy's persistent
                 # .scrapy/httpcache analog)
-                from ..operators.httpcache import split_http_cache_hits
+                from ..operators.httpcache import (
+                    split_http_cache_hits,
+                    split_rfc2616_cache,
+                )
 
                 cache = self.store.read("http_cache")
                 if self.http_cache is not None:
                     cache = (
-                        cache.unionByName(self.http_cache)
+                        cache.unionByName(
+                            self.http_cache, allowMissingColumns=True
+                        )
                         if cache is not None
                         else self.http_cache
                     )
-                hits, to_fetch = split_http_cache_hits(popped, cache, ts)
+                if cfg.httpcache_policy == "rfc2616":
+                    # HTTPCACHE_POLICY=RFC2616Policy: freshness decides —
+                    # fresh replays, stale-with-validators revalidates
+                    # (conditional GET → merge_304 below), the rest miss
+                    hits, to_fetch, reval_src = split_rfc2616_cache(
+                        popped, cache, ts, int(time.time())
+                    )
+                else:
+                    hits, to_fetch = split_http_cache_hits(popped, cache, ts)
             else:
                 hits, to_fetch = split_cache_hits(
                     popped, self.store.read("fetch_log"), ts
@@ -512,6 +526,14 @@ class CrawlEngine:
             fetched = engine_fetch(to_fetch, cfg, ts)
             if cfg.post_fetch_hook is not None:
                 fetched = cfg.post_fetch_hook(fetched)
+            if reval_src is not None:
+                # rfc2616: 304 Not Modified → serve the stored response,
+                # refreshed (operators/httpcache.py::merge_304) — must
+                # run before retry/redirect/httperror classification so
+                # a revalidated row re-enters the chain as its cached 200
+                from ..operators.httpcache import merge_304
+
+                fetched = merge_304(fetched, reval_src)
             if cfg.httpcache_enabled:
                 fetched = fetched.withColumn("from_cache", F.lit(False))
         else:
@@ -1022,10 +1044,19 @@ class CrawlEngine:
             stat_frames.append(
                 _tag(hits.agg(F.count(F.lit(1)).alias("n")), "cachehit")
             )
+        if "revalidated" in fetched.columns:
+            stat_frames.append(
+                _tag(
+                    fetched.filter(F.col("revalidated")).agg(
+                        F.count(F.lit(1)).alias("n")
+                    ),
+                    "reval",
+                )
+            )
         batched = stat_frames[0]
         for sf_ in stat_frames[1:]:
             batched = batched.unionByName(sf_)
-        n_popped = n_denied = queued_after = n_newdom = 0
+        n_popped = n_denied = queued_after = n_newdom = n_reval = 0
         outcome_counts: dict[tuple[int, str], int] = {}
         part_counts: dict[int, int] = {}
         drop_counts: dict[str, int] = {}
@@ -1051,6 +1082,8 @@ class CrawlEngine:
                 n_newdom = n
             elif t == "cachehit":
                 n_cache_hits = n
+            elif t == "reval":
+                n_reval = n
             elif t == "drop":
                 drop_counts[r["k1"]] = n
             elif t == "fetched":
@@ -1117,6 +1150,7 @@ class CrawlEngine:
             (e, -1, "retry/count", float(n_retry)),
             (e, -1, "redirect/count", float(n_redirect)),
             (e, -1, "httpcache/hit", float(n_cache_hits)),
+            (e, -1, "httpcache/revalidated", float(n_reval)),
         ]
         for reason, n in drop_counts.items():
             mrows.append((e, -1, f"{reason}/filtered", float(n)))
@@ -1155,17 +1189,26 @@ class CrawlEngine:
             and n_popped > n_cache_hits  # some pops actually hit the network
         ):
             # persist the NEWLY fetched 200 bodies (replayed hits carry
-            # from_cache=true and are already in the cache); read-side
-            # dedupe keeps the latest epoch per fp
-            appends["http_cache"] = fetched.filter(
-                (F.col("status") == 200) & ~F.col("from_cache")
-            ).select(
+            # from_cache=true and are already in the cache) plus the
+            # RFC 9111 freshness metadata the rfc2616 policy reads;
+            # read-side dedupe keeps the latest epoch per fp — which
+            # also makes a re-appended 304-merged row the RFC's
+            # "update the stored response" step. Under rfc2616,
+            # no-store responses (fresh_until = -1) are never cached
+            # (RFC2616Policy.should_cache_response).
+            storable = (F.col("status") == 200) & ~F.col("from_cache")
+            if cfg.httpcache_policy == "rfc2616":
+                storable = storable & (F.col("fresh_until") != -1)
+            appends["http_cache"] = fetched.filter(storable).select(
                 "fp",
                 "status",
                 "body",
                 "content_type",
                 "content_encoding",
                 "location",
+                "etag",
+                "last_modified",
+                "fresh_until",
                 F.lit(e).alias("epoch"),
             )
         if cfg.cookies_enabled and cfg.fetch_backend == "http":

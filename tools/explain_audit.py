@@ -183,6 +183,13 @@ def main() -> int:
             ["BroadcastHashJoin"],
             list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
         ),
+        # corpus_mix: token count + two tiny aggs; integer-ppm math stays
+        # pure Column algebra — zero Python evals
+        (
+            "corpus_mix",
+            ["HashAggregate"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
+        ),
         # pack_sequences: the distributed prefix sum must be a RANGE
         # exchange + per-partition windows + a broadcast offsets join.
         # (A SinglePartition exchange still appears — over the ≤nparts-row
