@@ -190,14 +190,21 @@ def main() -> int:
             ["HashAggregate"],
             list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
         ),
-        # pack_sequences: the distributed prefix sum must be a RANGE
-        # exchange + per-partition windows + a broadcast offsets join.
+        # pack_sequences: the distributed prefix sum is a RANGE exchange
+        # + per-partition windows + a broadcast offsets join. The range
+        # exchange itself is no longer VISIBLE in the final plan: the
+        # __pid pin (packing.py::running_offset) eagerly localCheckpoints
+        # right after repartitionByRange so both consumers see identical
+        # partition ids (the r5 row-conservation fix), and the checkpoint
+        # truncates the lineage the explain shows. Assert what remains
+        # downstream of the pin: per-__pid windows (never a global one)
+        # and the broadcast offsets join.
         # (A SinglePartition exchange still appears — over the ≤nparts-row
         # per-partition COUNTS table, not the data; that's the intended
         # tiny prefix-sum, same as operators/pop.py::global_seq.)
         (
             "pack_sequences",
-            ["rangepartitioning", "BroadcastHashJoin"],
+            ["Window", "BroadcastHashJoin"],
             list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
         ),
         # semdedup: the k-row codebook broadcast-cross-joins the corpus
