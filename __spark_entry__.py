@@ -689,6 +689,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (datapipe/similarity.py ivfpq_topk: product-quantized
+    corpus index — (id, cell, m one-byte codes), 64× smaller than the
+    vectors — probed by cell, ADC-scored JVM-side via per-query lookup
+    tables, exact cosine re-rank over the ADC survivors) run at
+    nprobe = ncells with rerank ≥ |corpus|, where the whole pipeline
+    must reproduce exact brute-force kNN value-for-value regardless of
+    codebook quality — same whole-pipeline exactness oracle as
+    ann_ivf_topk, now also covering the PQ encode / LUT / ADC stages.
+    Recall at realistic (nprobe, rerank) is measured in
+    tests/test_datapipe.py. Queries restricted to vec_id < 10."""
+    from scrapy_spark.datapipe.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, k=5, ncells=16, nprobe=16, rerank=1_000_000_000,
+        query_filter=F.col("vec_id") < 10,
+    )
+
+
 def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_spark.datapipe.text import winnow_fingerprints
 
@@ -1115,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "request_identity": q_request_identity,
         "crawl_frontier_pop": q_crawl_frontier_pop,
@@ -1616,6 +1637,29 @@ def oracle_sql() -> dict[str, str]:
         # EQUAL exact brute-force kNN — the oracle is the same shape as
         # knn_cosine_topk (same query set, rounding, and tie-break)
         "ann_ivf_topk": """
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(
+                       list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                       4) AS cos_sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(
+                         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                         4) DESC, c.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 10)
+            WHERE rank <= 5
+        """,
+        # IVF-PQ at nprobe = ncells with rerank ≥ |corpus| keeps every
+        # candidate through the ADC prune and re-ranks all of them with
+        # exact cosine, so its output must EQUAL exact brute-force kNN —
+        # identical oracle to ann_ivf_topk (PQ quality cancels out)
+        "ann_ivfpq_topk": """
             SELECT query_id, neighbor_id, cos_sim, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      round(

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "knn_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
     "text_quality_score",
     "text_lang_id",
     "text_token_count",

@@ -176,6 +176,37 @@ def test_ivf_recall_and_exactness_at_full_probe(emb):
     assert full == exact
 
 
+def test_ivfpq_recall_and_exactness_at_full_probe(emb):
+    """IVF-PQ (compressed-code candidate join + ADC + exact re-rank):
+    (a) at nprobe=ncells and rerank ≥ |corpus| the pipeline must equal
+    brute-force kNN value-for-value — codebook quality cancels out, so
+    this oracles the encode/LUT/ADC/re-rank plumbing end-to-end;
+    (b) at realistic (nprobe, rerank) the ADC prune still finds most
+    true neighbors even on this isotropic worst-case corpus."""
+    from scrapy_spark.datapipe.similarity import ivfpq_topk
+
+    n = emb.count()
+    exact = set(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in cosine_topk(emb, emb, k=5).collect()
+    )
+    full = set(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivfpq_topk(
+            emb, k=5, ncells=16, nprobe=16, rerank=n
+        ).collect()
+    )
+    assert full == exact
+    part = set(
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(emb, k=5, ncells=16, nprobe=4, rerank=64)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    recall = len(set((q, nb) for q, nb, _, _ in exact) & part) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ nprobe=4/16 recall {recall:.3f} < 0.4"
+
+
 def test_near_dup_lsh_equals_brute_force_on_planted_dups(emb):
     base = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")

@@ -93,6 +93,10 @@ def main() -> int:
         # IVF: cell-assignment is the only Python stage; the candidate
         # join must be a key-equijoin on cell, never a cross-product
         ("ann_ivf_topk", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
+        # IVF-PQ: index (corpus) + probe/LUT (queries) are the only two
+        # Python stages; ADC scoring over the compressed codes is pure
+        # column algebra on the JVM side of the cell equijoin
+        ("ann_ivfpq_topk", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         ("text_token_stats", ["ReadSchema"], list(BAD_EVERYWHERE)),  # map-only: no filter to push; assert column pruning
         ("doc_winnow_fingerprints", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         # stratified sample never reads the text column (column pruning:
