@@ -276,7 +276,14 @@ def corpus_mix(
         agg.withColumn("__total", F.sum("n_tokens").over(w_all))
         .withColumn(
             "tok_ppm",
-            F.expr("CAST(n_tokens * 1000000 DIV __total AS BIGINT)"),
+            # widen to decimal BEFORE the ×10⁶: bigint wraps (silently,
+            # in non-ANSI mode) once a bucket passes ~9.2e12 tokens —
+            # inside the 10^13-token design point. decimal(38,0) keeps
+            # headroom to 10^32 tokens and DIV stays exact integer math.
+            F.expr(
+                "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 "
+                "DIV __total AS BIGINT)"
+            ),
         )
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .withColumn(

@@ -174,6 +174,10 @@ def huffman_encode(raw: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+        # drop the emitted high bits: without this, acc grows into an
+        # O(n)-bit bignum and each shift turns encoding quadratic in
+        # the string length (multi-KB cookie/path values are common)
+        acc &= (1 << nbits) - 1
     if nbits:
         pad = 8 - nbits
         out.append(((acc << pad) | ((1 << pad) - 1)) & 0xFF)

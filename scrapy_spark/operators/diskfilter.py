@@ -32,10 +32,14 @@ shard_delete) with the same sizing rule.
 
 Versioned files + manifest swap give crash consistency (a killed job
 leaves the previous manifest pointing at intact files); ``_gc`` prunes
-files no manifest references. A probe captures the file map at UDF
-creation, so GC must not run concurrently with an in-flight probe of an
-older manifest — the engine's epoch loop is sequential, which satisfies
-this; a multi-writer deployment would add a grace window.
+unreferenced files but always RETAINS the immediately-previous
+generation's file set: a probe captures the file map at UDF creation,
+and the engine overlaps the absorb (which swaps the manifest) with the
+stats action and the store commit, both of which may still schedule
+tasks against plans holding the pre-absorb map (straggler tasks or a
+lost cached partition re-compute). One generation of grace covers every
+within-epoch overlap; files two generations old are pruned on the next
+swap. A multi-writer deployment would widen the window.
 """
 
 from __future__ import annotations
@@ -101,6 +105,10 @@ class DiskShardedCuckoo:
                 "files": {},  # shard id (str) → relative file path
             }
             self._swap_manifest()
+        # previous-generation file set _gc must keep alive (see module
+        # docstring); seeded from the loaded manifest so a resume never
+        # prunes files a concurrently-resumed plan could still hold
+        self._prev_files: set[str] = set(self._m["files"].values())
 
     # ------------------------------------------------------------ manifest
     @property
@@ -130,7 +138,9 @@ class DiskShardedCuckoo:
         }
 
     def _gc(self) -> None:
-        referenced = set(self._m["files"].values())
+        # spare current AND previous generation — in-flight plans from
+        # this epoch captured the pre-mutation file map (see docstring)
+        referenced = set(self._m["files"].values()) | self._prev_files
         for f in (self.root / "data").glob("*.npy"):
             if f"data/{f.name}" not in referenced:
                 f.unlink(missing_ok=True)
@@ -241,10 +251,12 @@ class DiskShardedCuckoo:
             .collect()
         )
         total = 0
+        prev = set(self._m["files"].values())
         for s, n, rel in parts:
             self._m["files"][str(s)] = rel
             total += n
         if parts:
+            self._prev_files = prev
             self._m["n_added"] += total if op == "insert" else -total
             self._swap_manifest()
             self._gc()
@@ -275,6 +287,7 @@ def build_disk_cuckoo_from_df(
     absorb everything shard-owner-side. Used for resume (rebuild from the
     committed url_seen) and saturation regrow (2× capacity)."""
     out = DiskShardedCuckoo(spark, root, capacity, shards)
+    prev = set(out._m["files"].values())
     out._m = {
         "capacity": capacity,
         "shards": shards,
@@ -282,6 +295,7 @@ def build_disk_cuckoo_from_df(
         "n_added": 0,
         "files": {},
     }
+    out._prev_files = prev  # rebuild races the same in-flight plans
     out._swap_manifest()
     out._gc()
     out.absorb_df(df, fp_col)

@@ -99,7 +99,7 @@ def split_http_cache_hits(
 #: c_-prefixed response columns a replay/merge pulls from the cache table
 _C_COLS = (
     "status", "body", "content_type", "content_encoding", "location",
-    "etag", "last_modified", "fresh_until",
+    "etag", "last_modified", "fetched_wall", "fresh_until",
 )
 
 
@@ -112,7 +112,7 @@ def _latest_cached(http_cache: DataFrame, popped: DataFrame) -> DataFrame:
     hc = http_cache
     for col, typ in (
         ("etag", "string"), ("last_modified", "string"),
-        ("fresh_until", "long"),
+        ("fetched_wall", "long"), ("fresh_until", "long"),
     ):
         if col not in hc.columns:
             hc = hc.withColumn(col, F.lit(None).cast(typ))
@@ -213,9 +213,13 @@ def merge_304(fetched: DataFrame, merge_src: DataFrame | None) -> DataFrame:
     response (ref RFC2616Policy — on 304 the middleware returns the
     cached response, refreshed): the row keeps the revalidation fetch's
     latency/lineage but serves the cached status/body/content columns,
-    re-derives image_id from the (merged) content type, and adopts the
-    304's own freshness (``fresh_until`` computed from the 304's
-    headers at fetch time; validators coalesce cached ones). The merged
+    re-derives image_id from the (merged) content type, and refreshes
+    freshness per RFC 9111 §4.3.4 — a 304 that states its own freshness
+    (``fresh_explicit``: max-age / no-cache / Expires) wins; a bare 304
+    inherits the STORED entry's lifetime re-anchored at the
+    revalidation time (stored headers persist unless overridden), so a
+    minimal "304 Not Modified" does not demote an hour-fresh entry to
+    revalidate-every-epoch. Validators coalesce cached ones. The merged
     row leaves with ``revalidated=true`` and ``from_cache`` unset, so
     the engine re-appends it to the cache — the latest-epoch-wins read
     makes that the RFC's "update the stored response" step."""
@@ -226,6 +230,19 @@ def merge_304(fetched: DataFrame, merge_src: DataFrame | None) -> DataFrame:
         (F.col("status") == 304) & F.col("c_status").isNotNull(),
     )
     rv = F.col("revalidated")
+    inherited = F.col("fetched_wall") + (
+        F.col("c_fresh_until") - F.col("c_fetched_wall")
+    )
+    out = out.withColumn(
+        "fresh_until",
+        F.when(
+            rv
+            & ~F.coalesce(F.col("fresh_explicit"), F.lit(False))
+            & F.col("c_fetched_wall").isNotNull()
+            & (F.col("c_fresh_until") >= F.col("c_fetched_wall")),
+            F.greatest(F.col("fresh_until"), inherited),
+        ).otherwise(F.col("fresh_until")),
+    )
     for c in ("body", "content_type", "content_encoding"):
         out = out.withColumn(c, F.when(rv, F.col(f"c_{c}")).otherwise(F.col(c)))
     for c in ("etag", "last_modified"):

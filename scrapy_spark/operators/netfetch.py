@@ -68,18 +68,28 @@ FETCH_SCHEMA = T.StructType(
         T.StructField("last_modified", T.StringType()),
         T.StructField("fetched_wall", T.LongType()),  # unix secs
         T.StructField("fresh_until", T.LongType()),  # unix secs; -1 = no-store
+        # True when the response carried EXPLICIT freshness info
+        # (Cache-Control max-age/no-cache/no-store, or Expires) — a 304
+        # without it inherits the stored entry's lifetime on merge
+        # (RFC 9111 §4.3.4: update stored headers, then recompute)
+        T.StructField("fresh_explicit", T.BooleanType()),
     ]
 )
 
 
 def cache_freshness(lower: dict, now: float) -> tuple:
-    """(etag, last_modified, fetched_wall, fresh_until) from lowercase
-    response headers — the RFC 9111 freshness-lifetime computation the
-    reference's RFC2616Policy performs (extensions/httpcache.py
-    ≈L150): max-age beats Expires beats the Last-Modified heuristic
-    (10% of age, capped at a day); ``no-store`` → fresh_until = -1
-    (never persisted); ``no-cache`` / no information → lifetime 0
-    (stored, but every replay must revalidate)."""
+    """(etag, last_modified, fetched_wall, fresh_until, explicit) from
+    lowercase response headers — the RFC 9111 freshness-lifetime
+    computation the reference's RFC2616Policy performs
+    (extensions/httpcache.py ≈L150): max-age beats Expires beats the
+    Last-Modified heuristic (10% of age, capped at a day); ``no-store``
+    → fresh_until = -1 (never persisted); ``no-cache`` / no information
+    → lifetime 0 (stored, but every replay must revalidate).
+    ``explicit`` is True when the response itself stated a freshness
+    directive (max-age / no-cache / no-store / Expires) — a 304 that
+    carries none inherits the stored entry's lifetime at merge time
+    (RFC 9111 §4.3.4: stored headers persist unless the 304 overrides
+    them)."""
     import email.utils
     import re as _re
 
@@ -87,7 +97,7 @@ def cache_freshness(lower: dict, now: float) -> tuple:
     last_mod = lower.get("last-modified")
     cc = (lower.get("cache-control") or "").lower()
     if "no-store" in cc:
-        return etag, last_mod, int(now), -1
+        return etag, last_mod, int(now), -1, True
 
     def _http_date(v):
         try:
@@ -97,21 +107,25 @@ def cache_freshness(lower: dict, now: float) -> tuple:
 
     date = _http_date(lower.get("date") or "") or now
     lifetime = None
+    explicit = False
     m = _re.search(r"max-age=(\d+)", cc)
     if m:
         lifetime = int(m.group(1))
+        explicit = True
     if "no-cache" in cc:
         lifetime = 0
+        explicit = True
     if lifetime is None and "expires" in lower:
         exp = _http_date(lower["expires"])
         lifetime = max(0, int(exp - date)) if exp is not None else 0
+        explicit = True
     if lifetime is None and last_mod is not None:
         lm = _http_date(last_mod)
         if lm is not None:
             lifetime = min(max(0, int(0.1 * (date - lm))), 86_400)
     if lifetime is None:
         lifetime = 0
-    return etag, last_mod, int(now), int(now) + lifetime
+    return etag, last_mod, int(now), int(now) + lifetime, explicit
 
 
 class _NoRedirect(urllib.request.HTTPRedirectHandler):
@@ -304,13 +318,29 @@ def http_fetch(
             sem = sems[slot]
             with sem:
                 t0 = time.monotonic()
-                if transport == "h2c":
-                    status, body, headers, set_cookie, truncated, error = (
-                        _fetch_one_h2(
-                            url, timeout_s, maxsize, user_agent, extra,
-                            ca_file=ca_file,
+                # non-HTTP schemes dispatch BEFORE the transport split:
+                # ftp:// must reach the FTP handler under every
+                # transport (the h2 pool would otherwise dial the host
+                # as a bogus cleartext h2 peer)
+                if transport == "h2c" and not url.startswith("ftp://"):
+                    eff_proxy = row_proxy if row_proxy is not None else proxy
+                    if eff_proxy:
+                        # proxy routing is h1-only (no CONNECT tunneling
+                        # in the h2 client) — surface an error row
+                        # instead of silently going direct, which would
+                        # leak traffic the config routed through a proxy
+                        status, body, headers, set_cookie, truncated, error = (
+                            0, b"", {}, [], False,
+                            "ProxyUnsupported: proxy routing requires "
+                            "transport='h1'",
                         )
-                    )
+                    else:
+                        status, body, headers, set_cookie, truncated, error = (
+                            _fetch_one_h2(
+                                url, timeout_s, maxsize, user_agent, extra,
+                                ca_file=ca_file,
+                            )
+                        )
                 else:
                     status, body, headers, set_cookie, truncated, error = (
                         _fetch_one(
@@ -321,8 +351,8 @@ def http_fetch(
                     )
                 latency = int((time.monotonic() - t0) * 1000)
             lower = {k.lower(): v for k, v in headers.items()}
-            etag, last_mod, fetched_wall, fresh_until = cache_freshness(
-                lower, time.time()
+            etag, last_mod, fetched_wall, fresh_until, fresh_explicit = (
+                cache_freshness(lower, time.time())
             )
             return (
                 fp,
@@ -341,6 +371,7 @@ def http_fetch(
                 last_mod,
                 fetched_wall,
                 fresh_until,
+                fresh_explicit,
             )
 
         with cf.ThreadPoolExecutor(max_workers=pool_size) as pool:
@@ -415,7 +446,16 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
     upstream HttpAuthMiddleware (credentials never leak to other hosts;
     a None auth-domain sends everywhere — the documented legacy mode).
     Proxy routing (HttpProxyMiddleware): per-request meta['proxy'] wins,
-    then cfg.http_proxy, then the environment (None)."""
+    then cfg.http_proxy, then the environment (None). Proxying is
+    h1-only (the h2 client has no CONNECT tunneling): cfg.http_proxy
+    with transport='h2c' fails fast here, and a per-request
+    meta['proxy'] row under h2c surfaces as a status-0 error row rather
+    than silently bypassing the proxy."""
+    if cfg.transport == "h2c" and getattr(cfg, "http_proxy", None):
+        raise ValueError(
+            "http_proxy requires transport='h1' — the h2 client has no "
+            "CONNECT tunneling"
+        )
     hdr_pairs = []
     if "referer" in to_fetch.columns:
         hdr_pairs.append(("Referer", F.col("referer")))
@@ -489,6 +529,7 @@ def engine_fetch(to_fetch: DataFrame, cfg, epoch_ts: int) -> DataFrame:
         F.col("fp").alias("__key"), "status", "body", "content_type",
         "content_encoding", "location", "set_cookie", "latency_ms",
         "truncated", "etag", "last_modified", "fetched_wall", "fresh_until",
+        "fresh_explicit",
     )
     # the frontier's own `status` column ('QUEUED') is superseded by the
     # HTTP status, exactly as synthetic_fetch overwrites it

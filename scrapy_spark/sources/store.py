@@ -145,12 +145,20 @@ class ParquetStore(Store):
         if not entry:
             return None
         if isinstance(entry, list):  # plain replace/append table
-            return self.spark.read.parquet(*entry)
+            # mergeSchema: an append-evolved table (e.g. http_cache
+            # gaining the RFC 9111 freshness columns) mixes file schemas
+            # across epochs; the default single-footer inference would
+            # silently DROP the new columns whenever an old file's
+            # footer wins. Footer merging is per-file metadata only —
+            # no data reads — and these tables are epoch-append-scale.
+            return self.spark.read.option("mergeSchema", "true").parquet(*entry)
         return self._resolve(entry)
 
     def _resolve(self, entry: dict) -> DataFrame:
         """Merge-on-read for a mutate table: (base ∪ inserts) anti deletes."""
-        df = self.spark.read.parquet(*(entry["base"] + entry.get("ins", [])))
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *(entry["base"] + entry.get("ins", []))
+        )
         if entry.get("dels"):
             dels = self.spark.read.parquet(*entry["dels"])
             df = df.join(F.broadcast(dels), _key_cols(entry["key"]), "left_anti")

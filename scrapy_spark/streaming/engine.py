@@ -917,13 +917,14 @@ class CrawlEngine:
                 # recover by rebuilding at 2× over committed-seen ∪ this
                 # batch instead of crashing the epoch. The partially
                 # spliced filter is discarded wholesale, so no torn state
-                # survives. Driver-resident absorbs raise RuntimeError
-                # directly; executor-resident ones surface the same
-                # message wrapped in a Spark PythonException.
-                if not (
-                    isinstance(absorb_err, RuntimeError)
-                    or "over capacity" in str(absorb_err)
-                ):
+                # survives. Match the over-capacity MESSAGE (driver-
+                # resident absorbs raise it as a RuntimeError directly,
+                # executor-resident ones surface it wrapped in a Spark
+                # PythonException) — a bare isinstance(RuntimeError)
+                # check would also swallow unrelated failures (e.g. the
+                # _splice layout-mismatch error, a real bug signal) and
+                # mask them behind a full rebuild every epoch.
+                if "over capacity" not in str(absorb_err):
                     raise
                 n_fresh = fresh.count()
                 all_fps = fresh.select("fp")
@@ -1208,6 +1209,7 @@ class CrawlEngine:
                 "location",
                 "etag",
                 "last_modified",
+                "fetched_wall",
                 "fresh_until",
                 F.lit(e).alias("epoch"),
             )

@@ -128,17 +128,29 @@ def test_manifest_reload_resumes_state(spark, tmp_path):
     assert reopened.maybe_contains(fps).all()
 
 
-def test_gc_prunes_unreferenced_files(spark, tmp_path):
+def test_gc_prunes_unreferenced_files_with_one_generation_grace(
+    spark, tmp_path
+):
+    """GC after each swap keeps the current manifest's files PLUS the
+    immediately-previous generation (in-flight plans from the same
+    epoch captured the pre-mutation file map — the engine overlaps the
+    absorb with the stats action and the commit), and prunes everything
+    older on the next swap."""
     fps = _fps(1000)
     disk = build_disk_cuckoo_from_df(
         spark, str(tmp_path), _df(spark, fps), capacity=10_000
     )
-    # several mutation rounds leave superseded shard files; gc runs after
-    # each swap, so on-disk files == referenced files
+    gen0 = set(disk._m["files"].values())
     disk.absorb_df(_df(spark, _fps(200, b"a")))
-    disk.delete_df(_df(spark, fps[:100]))
+    gen1 = set(disk._m["files"].values())
     on_disk = {f"data/{p.name}" for p in (disk.root / "data").glob("*.npy")}
-    assert on_disk == set(disk._m["files"].values())
+    assert on_disk == gen0 | gen1  # previous generation still readable
+
+    disk.delete_df(_df(spark, fps[:100]))
+    gen2 = set(disk._m["files"].values())
+    on_disk = {f"data/{p.name}" for p in (disk.root / "data").glob("*.npy")}
+    assert on_disk == gen1 | gen2  # gen0-only files pruned, gen1 spared
+    assert not (gen0 - gen1) & on_disk
 
 
 def test_engine_crawl_with_disk_cuckoo_matches_bloom(spark):

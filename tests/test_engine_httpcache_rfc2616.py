@@ -213,3 +213,76 @@ def test_changed_content_wins_over_stale_validator(spark, site):
         if bytes(r.body) == ETAG_V2_BODY
     ]
     assert len(row) == 1 and row[0].etag == '"v2"'
+
+
+class _Bare304Site(http.server.BaseHTTPRequestHandler):
+    """Stores with max-age=1 + ETag; revalidations get a MINIMAL 304
+    (ETag only, no Cache-Control) — the common real-server shape that
+    must NOT demote the entry to revalidate-every-epoch."""
+
+    hits: Counter = Counter()
+    _lock = threading.Lock()
+    BODY = encode_image(synth_image("bare-304"), "rawrgb")
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        cls = type(self)
+        with cls._lock:
+            cls.hits[self.path] += 1
+        if self.path == "/p/0":
+            body = b'<html><body><a href="/img/bare">x</a></body></html>'
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "max-age=0")
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/img/bare":
+            if self.headers.get("If-None-Match") == '"b1"':
+                self.send_response(304)
+                self.send_header("ETag", '"b1"')  # minimal 304: no CC
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/x-raw")
+            self.send_header("Content-Length", str(len(cls.BODY)))
+            self.send_header("Cache-Control", "max-age=1")
+            self.send_header("ETag", '"b1"')
+            self.end_headers()
+            self.wfile.write(cls.BODY)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+
+def test_bare_304_inherits_stored_lifetime(spark):
+    _Bare304Site.hits = Counter()
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Bare304Site)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        s1 = _crawl(spark, base)
+        row1 = [
+            r for r in s1.read("http_cache").collect() if r.etag == '"b1"'
+        ][0]
+        assert row1.fresh_until - row1.fetched_wall == 1  # stored max-age=1
+        time.sleep(1.5)  # let the stored entry go stale
+
+        s2 = _crawl(spark, base, http_cache=s1.read("http_cache"))
+        # the image revalidated via conditional GET and 304'd
+        assert _Bare304Site.hits["/img/bare"] == 2
+        assert _metric(s2, "httpcache/revalidated") >= 1
+        # RFC 9111 4.3.4: the bare 304 must INHERIT the stored 1s
+        # lifetime re-anchored at revalidation time, not demote to 0
+        row2 = [
+            r for r in s2.read("http_cache").collect() if r.etag == '"b1"'
+        ][0]
+        assert row2.fresh_until - row2.fetched_wall == 1
+        assert row2.fetched_wall > row1.fetched_wall
+        # and the merged row still served the stored body byte-exact
+        items = _items(s2)
+        assert items["bare"] == _Bare304Site.BODY
+    finally:
+        srv.shutdown()

@@ -185,3 +185,36 @@ def test_ftp_rows_flow_through_http_fetch_operator(spark, ftp_site):
     assert out[b"f1"].status == 200
     assert bytes(out[b"f1"].body) == b"\x00\x01ftp-payload"
     assert out[b"f2"].status == 404 and out[b"f2"].error is None
+
+
+def test_ftp_dispatch_precedes_h2c_transport(spark, ftp_site):
+    """Scheme dispatch must run BEFORE the transport split: under
+    transport='h2c' an ftp URL still reaches the FTP handler instead of
+    being dialed as a bogus cleartext h2 peer (which surfaced as a
+    status-0 transport error the engine would retry forever)."""
+    from scrapy_spark.operators.netfetch import http_fetch
+
+    df = spark.createDataFrame(
+        [(b"f1", f"{ftp_site}/pub/a.bin", "127.0.0.1")],
+        "fp binary, url string, slot string",
+    )
+    out = http_fetch(df, timeout_s=10.0, transport="h2c").collect()
+    assert out[0].status == 200
+    assert bytes(out[0].body) == b"\x00\x01ftp-payload"
+
+
+def test_proxy_under_h2c_surfaces_error_row_not_direct(spark):
+    """Proxy routing is h1-only (no CONNECT tunneling in the h2 client):
+    a proxied request under transport='h2c' must come back as an error
+    row, never silently bypass the proxy."""
+    from scrapy_spark.operators.netfetch import http_fetch
+
+    df = spark.createDataFrame(
+        [(b"p1", "http://127.0.0.1:1/x", "127.0.0.1")],
+        "fp binary, url string, slot string",
+    )
+    out = http_fetch(
+        df, timeout_s=5.0, transport="h2c", proxy="http://127.0.0.1:2"
+    ).collect()
+    assert out[0].status == 0
+    assert "ProxyUnsupported" in out[0].error

@@ -22,23 +22,25 @@ def _fmt(ts: float) -> str:
 
 
 def test_max_age_sets_lifetime():
-    _, _, wall, until = cache_freshness({"cache-control": "max-age=3600"}, NOW)
-    assert (wall, until) == (int(NOW), int(NOW) + 3600)
+    _, _, wall, until, explicit = cache_freshness(
+        {"cache-control": "max-age=3600"}, NOW
+    )
+    assert (wall, until, explicit) == (int(NOW), int(NOW) + 3600, True)
 
 
 def test_no_store_marks_never_cache():
-    etag, _, _, until = cache_freshness(
+    etag, _, _, until, explicit = cache_freshness(
         {"cache-control": "no-store", "etag": '"v1"'}, NOW
     )
-    assert until == -1 and etag == '"v1"'
+    assert until == -1 and etag == '"v1"' and explicit
 
 
 def test_no_cache_forces_revalidation():
     # stored, but stale immediately — every replay must revalidate
-    _, _, _, until = cache_freshness(
+    _, _, _, until, explicit = cache_freshness(
         {"cache-control": "no-cache, max-age=3600"}, NOW
     )
-    assert until == int(NOW)
+    assert until == int(NOW) and explicit
 
 
 def test_max_age_beats_expires():
@@ -63,9 +65,10 @@ def test_stale_expires_clamped_to_zero():
 def test_last_modified_heuristic_ten_percent():
     lm = NOW - 10_000  # age 10000s → lifetime 1000s
     hdrs = {"date": _fmt(NOW), "last-modified": _fmt(lm)}
-    etag, last_mod, _, until = cache_freshness(hdrs, NOW)
+    etag, last_mod, _, until, explicit = cache_freshness(hdrs, NOW)
     assert until == int(NOW) + 1000
     assert last_mod == _fmt(lm) and etag is None
+    assert not explicit  # heuristic freshness is implicit (RFC 9111 4.2.2)
 
 
 def test_last_modified_heuristic_capped_at_a_day():
@@ -75,12 +78,12 @@ def test_last_modified_heuristic_capped_at_a_day():
 
 
 def test_no_information_means_immediately_stale():
-    etag, last_mod, wall, until = cache_freshness({}, NOW)
+    etag, last_mod, wall, until, explicit = cache_freshness({}, NOW)
     assert (etag, last_mod) == (None, None)
-    assert until == wall == int(NOW)
+    assert until == wall == int(NOW) and not explicit
 
 
 def test_validators_pass_through():
     hdrs = {"etag": 'W/"abc"', "last-modified": _fmt(NOW - 50)}
-    etag, last_mod, _, _ = cache_freshness(hdrs, NOW)
+    etag, last_mod, _, _, _ = cache_freshness(hdrs, NOW)
     assert etag == 'W/"abc"' and last_mod == _fmt(NOW - 50)
