@@ -51,9 +51,18 @@ def items_stream(
     digest = F.when(
         F.col("bytes").isNotNull(), F.md5(F.col("bytes"))
     ).otherwise(F.concat(F.lit("fp:"), F.hex(F.col("fp"))))
+    # anchor the virtual clock ABOVE the Unix epoch: Structured
+    # Streaming's initial watermark is 1970-01-01T00:00:00, and rows
+    # whose event time is not strictly greater are discarded as late —
+    # epoch 0 of a fresh crawl would be silently dropped (caught by
+    # test_payloadless_items_are_not_collapsed; the offset value itself
+    # is arbitrary, dedup semantics only compare event times)
     return raw.withColumn("digest", digest).withColumn(
         "event_ts",
-        F.timestamp_millis(F.col("epoch").cast("long") * epoch_quantum_ms),
+        F.timestamp_millis(
+            F.lit(86_400_000)
+            + F.col("epoch").cast("long") * epoch_quantum_ms
+        ),
     )
 
 
