@@ -709,6 +709,25 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → main-content extraction (datapipe/htmltext.py): pure JVM
+    regexp + per-line array-lambda pipeline — script/style removal,
+    anchor-span link-density sentinels, block-boundary line splitting,
+    entity decode, and the jusText-style boilerplate filter (min words
+    + max link density). Pages are synthesized deterministically around
+    each document's text (nav + footer chrome, script, entities); the
+    DuckDB oracle rebuilds the SAME page and runs the SAME chain (all
+    regexes constrained to the RE2 ∩ Java subset), so the extracted
+    text must match byte-for-byte."""
+    from scrapy_spark.datapipe.htmltext import extract_text, synth_page
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", synth_page(F.col("text"), F.col("doc_id")).alias("html")
+    )
+    return extract_text(pages, html_col="html")
+
+
 def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scrapy_spark.datapipe.text import winnow_fingerprints
 
@@ -1136,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "html_extract_text": q_html_extract_text,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "request_identity": q_request_identity,
         "crawl_frontier_pop": q_crawl_frontier_pop,
@@ -1677,6 +1697,58 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
               WHERE q.vec_id < 10)
             WHERE rank <= 5
+        """,
+        # html_extract_text: the full strip/mark/split/filter chain
+        # re-expressed in DuckDB (RE2) — every regex is in the
+        # RE2 ∩ Java-regex subset so the two engines agree byte-for-byte
+        "html_extract_text": """
+            WITH pages AS (
+              SELECT doc_id,
+                '<html><head><title>Synthetic page for doc ' || CAST(doc_id AS VARCHAR) ||
+                '</title><style>p { margin: 0 }</style></head><body>' ||
+                '<div id="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>' ||
+                '<p>' || regexp_replace(text, '\\n', '</p><p>', 'g') ||
+                '</p><script>var tracker = 1;</script>' ||
+                '<p>Tom &amp; Jerry say &quot;hello&quot; to doc ' || CAST(doc_id AS VARCHAR) ||
+                ' &lt;here&gt;</p>' ||
+                '<div id="footer"><a href="/tos">Terms of use</a> © 2026 Example</div></body></html>'
+                AS html
+              FROM documents),
+            stripped AS (
+              SELECT doc_id,
+                replace(replace(replace(replace(replace(replace(
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(
+                    html,
+                    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                    '(?s)<!--.*?-->', ' ', 'g'),
+                    '(?is)<a[ \\t][^>]*>', chr(1), 'g'),
+                    '(?is)</a>', chr(2), 'g'),
+                    '(?i)</(p|div|li|h1|h2|h3|h4|h5|h6|tr|title|ul|ol|table)>', chr(10), 'g'),
+                    '(?i)<(br|hr)[^>]*>', chr(10), 'g'),
+                    '<[^>]*>', ' ', 'g'),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')
+                AS txt
+              FROM pages),
+            kept AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(string_split(txt, chr(10)), l ->
+                    CASE WHEN
+                      length(trim(regexp_replace(replace(replace(l, chr(1), ''), chr(2), ''), '[ \\t\\r]+', ' ', 'g'))) > 0
+                      AND len(string_split(trim(regexp_replace(replace(replace(l, chr(1), ''), chr(2), ''), '[ \\t\\r]+', ' ', 'g')), ' ')) >= 3
+                      AND (length(l) - length(regexp_replace(l, chr(1) || '[^' || chr(2) || ']*' || chr(2), '', 'g'))
+                           - 2 * (length(l) - length(replace(l, chr(1), ''))))
+                          <= 0.33 * length(trim(regexp_replace(replace(replace(l, chr(1), ''), chr(2), ''), '[ \\t\\r]+', ' ', 'g')))
+                    THEN trim(regexp_replace(replace(replace(l, chr(1), ''), chr(2), ''), '[ \\t\\r]+', ' ', 'g'))
+                    END),
+                  x -> x IS NOT NULL) AS lines
+              FROM stripped)
+            SELECT doc_id, array_to_string(lines, chr(10)) AS text,
+                   len(lines)::BIGINT AS n_lines,
+                   length(array_to_string(lines, chr(10)))::BIGINT AS n_chars
+            FROM kept
         """,
         "knn_cosine_topk": """
             SELECT query_id, neighbor_id, cos_sim, rank FROM (

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "quality_heuristic_rules",
     "dedup_span_stats",
     "text_top_terms",
+    "html_extract_text",
     "pack_sequences",
     "semdedup_reps",
     "corpus_mix",

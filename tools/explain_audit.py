@@ -98,6 +98,13 @@ def main() -> int:
         # column algebra on the JVM side of the cell equijoin
         ("ann_ivfpq_topk", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         ("text_token_stats", ["ReadSchema"], list(BAD_EVERYWHERE)),  # map-only: no filter to push; assert column pruning
+        # html extraction: one codegen'd scan — regexp chains + array
+        # lambdas, zero Python evals, no join at all
+        (
+            "html_extract_text",
+            ["ReadSchema"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
+        ),
         ("doc_winnow_fingerprints", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         # stratified sample never reads the text column (column pruning:
         # the scan must exclude text:string) and stays equijoin-free
