@@ -709,6 +709,45 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus incremental dedup (datapipe/dedup.py::
+    incremental_dedup — the daily-crawl-increment shape: exact tier =
+    md5 equijoin, near tier = ASYMMETRIC PPJoin with the prefix filter
+    on the delta side only, rarest-first by corpus shingle frequency).
+    The delta is synthesized deterministically from documents: %10==0
+    rows are byte-exact copies, %10==1 rows append three filler tokens
+    (near-dup for long docs, 'new' when the doc is short enough that
+    jaccard dips below 0.5 — both engines agree either way), %10==2
+    rows are fresh text. The DuckDB oracle classifies the same delta
+    with the direct (no-prefix) join — the prefix filter must not
+    change a single verdict, match id, or jaccard value."""
+    from scrapy_spark.datapipe.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    nid = (F.col("doc_id") + 100_000).alias("doc_id")
+    delta = (
+        docs.filter(F.col("doc_id") % 10 == 0).select(nid, "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                nid,
+                F.concat(
+                    F.col("text"), F.lit(" aardvark aardvark aardvark")
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 2).select(
+                nid,
+                F.concat(
+                    F.lit("zulu zebra quokka wombat numbat doc "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    return incremental_dedup(delta, docs)
+
+
 def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → main-content extraction (datapipe/htmltext.py): pure JVM
     regexp + per-line array-lambda pipeline — script/style removal,
@@ -1155,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "dedup_incremental": q_dedup_incremental,
         "html_extract_text": q_html_extract_text,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "request_identity": q_request_identity,
@@ -1697,6 +1737,67 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
               WHERE q.vec_id < 10)
             WHERE rank <= 5
+        """,
+        # dedup_incremental: direct (no-prefix) delta-vs-corpus
+        # classification — the Spark side's asymmetric prefix filter
+        # must reproduce these verdicts exactly
+        "dedup_incremental": f"""
+            WITH delta AS (
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 100000, text || ' aardvark aardvark aardvark'
+              FROM documents WHERE doc_id % 10 = 1
+              UNION ALL
+              SELECT doc_id + 100000,
+                     'zulu zebra quokka wombat numbat doc ' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 10 = 2),
+            exact AS (
+              SELECT d.doc_id, 'exact_dup' AS verdict,
+                     min(c.doc_id)::BIGINT AS match_id,
+                     CAST(1.0 AS DOUBLE) AS jaccard
+              FROM delta d JOIN documents c ON md5(d.text) = md5(c.text)
+              GROUP BY d.doc_id),
+            surv AS (
+              SELECT * FROM delta
+              WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+            shd AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(len(t) - 2),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+              FROM (SELECT doc_id, {_TOKS} AS t FROM surv) WHERE len(t) >= 3),
+            shc AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(len(t) - 2),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+              FROM (SELECT doc_id, {_TOKS} AS t FROM documents) WHERE len(t) >= 3),
+            cntd AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+            cntc AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+            pairs AS (
+              SELECT d.doc_id AS d_id, c.doc_id AS c_id, count(*) AS common
+              FROM shd d JOIN shc c ON d.shingle = c.shingle
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT d_id, c_id,
+                     round(common * 1.0 / (nd.n_sh + nc.n_sh - common), 4) AS jaccard
+              FROM pairs
+              JOIN cntd nd ON nd.doc_id = d_id
+              JOIN cntc nc ON nc.doc_id = c_id),
+            near AS (
+              SELECT d_id AS doc_id, 'near_dup' AS verdict,
+                     c_id::BIGINT AS match_id, CAST(jaccard AS DOUBLE) AS jaccard
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY d_id ORDER BY jaccard DESC, c_id ASC) AS r
+                    FROM scored WHERE jaccard >= 0.5)
+              WHERE r = 1)
+            SELECT * FROM exact
+            UNION ALL SELECT * FROM near
+            UNION ALL
+            SELECT doc_id, 'new' AS verdict, NULL::BIGINT AS match_id,
+                   NULL::DOUBLE AS jaccard
+            FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM near)
         """,
         # html_extract_text: the full strip/mark/split/filter chain
         # re-expressed in DuckDB (RE2) — every regex is in the

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "tumbling_window_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_cluster_reps",

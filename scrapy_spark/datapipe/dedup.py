@@ -633,10 +633,144 @@ def dup_span_stats(
     )
 
 
+# ------------------------------------------------------ incremental dedup
+def incremental_dedup(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Classify a DELTA batch against an existing CORPUS — the
+    production shape of a continuously-harvesting pipeline (today's
+    crawl increment vs the accumulated training set; corpus×corpus
+    dedup re-pays the whole quadratic every day, delta×corpus pays only
+    |delta|·cost).
+
+    → one row per delta doc: (``id_col``, verdict, match_id, jaccard)
+    - ``exact_dup``: byte-identical text already in the corpus
+      (md5 equijoin; match_id = smallest matching corpus id,
+      jaccard = 1.0);
+    - ``near_dup``: n-gram Jaccard ≥ ``threshold`` vs some corpus doc
+      (match_id = the best match — highest jaccard, smallest id);
+    - ``new``: neither.
+
+    Scale shape (delta ≪ corpus): the exact tier is a hash equijoin on
+    md5 (uniform key, no skew). The near tier is the ASYMMETRIC PPJoin:
+    the prefix filter applies to the DELTA side only — under any fixed
+    global shingle order, J(A,B) ≥ t forces B to share a shingle within
+    A's first |A|−⌈t·|A|⌉+1 shingles of that order — so the candidate
+    join runs delta-prefix × full-corpus postings, rarest-first by
+    CORPUS frequency (shingles absent from the corpus order first: they
+    have no postings and generate no candidates). Corpus shingle sets
+    are built only for candidate ids (left-semi shrink before the
+    collect_set). The corpus frequency table is one aggregate over the
+    corpus postings — in production it is maintained incrementally
+    across increments, not recomputed.
+    """
+    from pyspark.sql import Window
+
+    d = delta.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h")
+    )
+    c_hash = (
+        corpus.select(F.md5(F.col(text_col)).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias("__exact"))
+    )
+    d = d.join(c_hash, "__h", "left").localCheckpoint(eager=True)
+    exact = d.filter(F.col("__exact").isNotNull()).select(
+        F.col(id_col),
+        F.lit("exact_dup").alias("verdict"),
+        F.col("__exact").alias("match_id"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    surv = d.filter(F.col("__exact").isNull()).select(id_col, text_col)
+
+    sh_d = shingles(surv, id_col, text_col, n).localCheckpoint(eager=True)
+    sh_c = shingles(corpus, id_col, text_col, n).localCheckpoint(eager=True)
+    freq = sh_c.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+    w_doc = Window.partitionBy(id_col).orderBy(F.asc("__f"), F.asc("shingle"))
+    ranked = (
+        sh_d.join(freq, "shingle", "left")
+        .withColumn("__f", F.coalesce(F.col("__f"), F.lit(0)))
+        .withColumn("__pos", F.row_number().over(w_doc))
+        .withColumn(
+            "__n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+    )
+    prefix_len = (
+        F.col("__n_sh") - F.ceil(F.lit(threshold) * F.col("__n_sh")) + 1
+    )
+    cand = (
+        ranked.filter(F.col("__pos") <= prefix_len)
+        .select(F.col(id_col).alias("d_id"), "shingle")
+        .join(sh_c.select(F.col(id_col).alias("c_id"), "shingle"), "shingle")
+        .select("d_id", "c_id")
+        .distinct()
+    )
+    d_sets = sh_d.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("__sa"),
+        F.count(F.lit(1)).alias("__na"),
+    ).select(F.col(id_col).alias("d_id"), "__sa", "__na")
+    c_sets = (
+        sh_c.join(
+            F.broadcast(
+                cand.select(F.col("c_id").alias(id_col)).distinct()
+            ),
+            id_col,
+            "left_semi",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_set("shingle").alias("__sb"),
+            F.count(F.lit(1)).alias("__nb"),
+        )
+        .select(F.col(id_col).alias("c_id"), "__sb", "__nb")
+    )
+    common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    scored = (
+        cand.join(d_sets, "d_id")
+        .join(c_sets, "c_id")
+        .select(
+            "d_id", "c_id",
+            F.round(
+                common / (F.col("__na") + F.col("__nb") - common), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w_best = Window.partitionBy("d_id").orderBy(
+        F.desc("jaccard"), F.asc("c_id")
+    )
+    near = (
+        scored.withColumn("__r", F.row_number().over(w_best))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("d_id").alias(id_col),
+            F.lit("near_dup").alias("verdict"),
+            F.col("c_id").alias("match_id"),
+            "jaccard",
+        )
+    )
+    fresh = (
+        surv.join(F.broadcast(near.select(id_col)), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit("new").alias("verdict"),
+            F.lit(None).cast("long").alias("match_id"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+    return exact.unionByName(near).unionByName(fresh)
+
+
 __all__ = [
     "exact_dup_groups",
     "shingles",
     "jaccard_pairs",
+    "incremental_dedup",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash64",

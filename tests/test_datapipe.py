@@ -433,3 +433,39 @@ def test_token_count_estimate(spark):
     # "one","-","two"," three" → 4
     assert out[4].n_ws_tokens == 2 and out[4].n_bpe_tokens == 4
     assert out[4].chars_per_bpe_token == round(len("one-two three") / 4, 4)
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Delta-vs-corpus classification: planted exact copy, near-dup
+    (small token append), and fresh doc get the right verdicts, match
+    ids, and jaccard values; the asymmetric prefix filter must agree
+    with the direct join (the contract oracle proves it corpus-wide —
+    this pins the semantics on a hand-checkable fixture)."""
+    from scrapy_spark.datapipe.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+            (3, "sphinx of black quartz judge my vow said the king"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog today"),
+            (102, "pack my box with five dozen liquor jugs right now extra"),
+            (103, "completely unrelated text about spark and parquet files"),
+            (104, "tiny doc"),  # < n tokens: no shingles → new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(delta, corpus).collect()}
+    assert len(out) == 4  # exactly one row per delta doc
+    assert out[101].verdict == "exact_dup" and out[101].match_id == 1
+    assert out[101].jaccard == 1.0
+    assert out[102].verdict == "near_dup" and out[102].match_id == 2
+    # 8 shared shingles of 8∪9 → 8/9
+    assert out[102].jaccard == round(8 / 9, 4)
+    assert out[103].verdict == "new" and out[103].match_id is None
+    assert out[104].verdict == "new" and out[104].jaccard is None

@@ -88,6 +88,13 @@ def main() -> int:
         ("dedup_minhash_lsh", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         ("dedup_simhash", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         ("dedup_exact", ["HashAggregate"], list(BAD_EVERYWHERE)),
+        # incremental delta-vs-corpus dedup: md5 + shingle equijoins —
+        # all-JVM (no Python eval), never a cross product
+        (
+            "dedup_incremental",
+            [],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
+        ),
         ("embedding_near_dup_lsh", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         ("ann_lsh_topk", ["ArrowEvalPython"], list(BAD_EVERYWHERE)),
         # IVF: cell-assignment is the only Python stage; the candidate
