@@ -93,7 +93,13 @@ class CrawlEngine:
         self.corpus = corpus
         self.redirect_map = redirect_map
         self.pretrim = pretrim
-        self.max_cap = max_slot_concurrency or max(cfg.concurrent_per_domain, 8)
+        # floor at concurrent_per_domain: slots with no domain_state row
+        # fall back to that default at pop time, so a pretrim cap below
+        # it would cut rows inside a slot's true top-cap (violating
+        # pop.py's strict-superset invariant)
+        self.max_cap = max(
+            max_slot_concurrency or 0, cfg.concurrent_per_domain, 8
+        )
         # seen-set prefilter: bloom (default) or cuckoo (deletable) —
         # both expose n_added/capacity/probe_udf/absorb_df, so every
         # consumer below is structure-agnostic
@@ -256,12 +262,27 @@ class CrawlEngine:
         """J4/C4 IP branch: under ``slot_key_mode="ip"`` rewrite the
         politeness slot from the domain to its resolved IP (memoized per
         executor batch — operators/ipslots.py), so vhosts sharing a server
-        share one slot, as upstream does with CONCURRENT_REQUESTS_PER_IP."""
+        share one slot, as upstream does with CONCURRENT_REQUESTS_PER_IP.
+
+        meta['download_slot'] must win over the resolved IP (upstream
+        get_slot_key checks meta FIRST). Callers that already dropped
+        the ``meta_slot`` column (the candidates union selects only
+        ``cand_cols``) get it re-derived from ``meta_json`` here —
+        without this, a redirect child of a download_slot-carrying seed
+        was silently re-slotted to the IP."""
         if self.cfg.slot_key_mode != "ip":
             return df
+        from ..functions.meta import meta_get
         from ..operators.ipslots import with_ip_slot
 
-        return with_ip_slot(df, resolver=self.resolver)
+        added = False
+        if "meta_slot" not in df.columns and "meta_json" in df.columns:
+            df = df.withColumn(
+                "meta_slot", meta_get(F.col("meta_json"), "download_slot")
+            )
+            added = True
+        out = with_ip_slot(df, resolver=self.resolver)
+        return out.drop("meta_slot") if added else out
 
     def _rebuild_bloom(self) -> None:
         """Resume/regrow path: re-populate the bloom from the committed
@@ -309,6 +330,12 @@ class CrawlEngine:
         derive (shard, tag, bucket) quads, no fingerprint reaches the
         driver); the bloom can't delete, so it rebuilds distributed from
         the retained snapshot. Returns the number of fps expired."""
+        if before_epoch <= 0:
+            # epoch_added is never negative (bootstrap commits at 0), so
+            # the scan is guaranteed empty — skip it: paying a full
+            # url_seen job every early epoch is exactly the per-epoch
+            # fixed cost the batched-stats/concurrent-commit work removed
+            return 0
         seen = self.store.read("url_seen")
         if seen is None:
             return 0
@@ -428,9 +455,14 @@ class CrawlEngine:
                 # fetched during the domain's one-epoch wait. min(url) for
                 # determinism. In slot_key_mode="ip" several domains can
                 # share one waiting slot — each still gets its own fetch.
+                # Domains already covered by the STATIC robots table are
+                # never live-fetched: their rules are authoritative, and
+                # fetching them would put a second row for the domain
+                # into the gate's left join (every frontier row would
+                # pop twice and trip the conservation check).
                 new_domain_urls = waiting.groupBy("domain").agg(
                     F.min("url").alias("url")
-                )
+                ).join(self.robots.select("domain"), "domain", "left_anti")
             poppable = e0.filter(
                 F.col("robots_epoch").isNotNull() & (F.col("robots_epoch") < e)
             )
@@ -442,12 +474,23 @@ class CrawlEngine:
         if cfg.robotstxt_obey:
             robots_tbl = self.robots
             if live_robots:
-                # live-fetched rules accumulated in the store (append-only;
-                # each domain is fetched exactly once, so no dedupe needed)
+                # live-fetched rules accumulated in the store. The gate's
+                # left join requires ONE row per domain: static rules win
+                # (their domains are never live-fetched, above), and the
+                # live rows collapse latest-epoch-wins as a belt-and-
+                # braces guard (a resumed run could have fetched a domain
+                # under an older static table)
                 fetched_rules = self.store.read("robots_http")
                 if fetched_rules is not None:
+                    live_rules = (
+                        fetched_rules.groupBy("domain")
+                        .agg(F.max_by("rules", "epoch").alias("rules"))
+                        .join(
+                            self.robots.select("domain"), "domain", "left_anti"
+                        )
+                    )
                     robots_tbl = robots_tbl.select("domain", "rules").unionByName(
-                        fetched_rules.select("domain", "rules")
+                        live_rules
                     )
             allowed, denied = apply_robots_gate(poppable, robots_tbl, cfg)
             denied = denied.select("seq", "fp").cache()
@@ -635,13 +678,47 @@ class CrawlEngine:
         # before the slot, ref HttpCacheMiddleware; to_fetch == popped
         # when the cache is off)
         pops_per_slot = to_fetch.groupBy("slot").agg(F.count(F.lit(1)).alias("k"))
+        # Register slots discovered AFTER bootstrap: both state updates
+        # below LEFT-join onto domain_state and preserve its row set, so
+        # without this a post-bootstrap domain never gets a row —
+        # mark_robots_fetched has nothing to stamp (its frontier rows
+        # wait forever and live robots refetches every epoch) and
+        # update_next_free drops its pop counts (no politeness delay).
+        # Under the robots gate only WAITING slots can lack rows (a
+        # poppable row implies robots_epoch was stamped, which implies
+        # the row exists); with the gate off, popped slots can. Defaults
+        # mirror the simulator's unknown-slot behavior (SEMANTICS 1):
+        # cfg delay/concurrency, watermark 0, robots unfetched.
+        fresh_slots = (
+            new_domains if cfg.robotstxt_obey else pops_per_slot.select("slot")
+        )
+        missing_state = fresh_slots.join(
+            dom.select("slot"), "slot", "left_anti"
+        ).select(
+            "slot",
+            F.lit(0).cast("long").alias("next_free_at"),
+            F.lit(cfg.download_delay_ms).cast("long").alias("delay_ms"),
+            F.lit(cfg.concurrent_per_domain).cast("int").alias("concurrency"),
+            F.lit(None).cast("double").alias("latency_ema"),
+            F.lit(None).cast("int").alias("robots_epoch"),
+        )
+        dom_grown = dom.unionByName(missing_state)
         dom_next = pol.update_next_free(
-            pol.mark_robots_fetched(dom, new_domains, e) if cfg.robotstxt_obey else dom,
+            pol.mark_robots_fetched(dom_grown, new_domains, e)
+            if cfg.robotstxt_obey
+            else dom_grown,
             pops_per_slot,
             ts,
         )
         if cfg.autothrottle_enabled:  # A6, ref throttle.py ≈L55 (default off)
-            latencies = fetched.groupBy("slot").agg(
+            # latency evidence = real downloader responses only: cache
+            # replays (latency 0, never saw the network — upstream
+            # AutoThrottle runs below HttpCacheMiddleware) and transport
+            # errors (status 0, no response latency) are excluded
+            lat_src = fetched.filter(F.col("status") > 0)
+            if "from_cache" in fetched.columns:
+                lat_src = lat_src.filter(~F.coalesce(F.col("from_cache"), F.lit(False)))
+            latencies = lat_src.groupBy("slot").agg(
                 F.avg("latency_ms").alias("avg_latency_ms"),
                 F.sum(F.when(F.col("status") < 400, 1).otherwise(0)).alias("ok_count"),
             )
@@ -1045,6 +1122,18 @@ class CrawlEngine:
             stat_frames.append(
                 _tag(hits.agg(F.count(F.lit(1)).alias("n")), "cachehit")
             )
+        new_cookies = None
+        if cfg.cookies_enabled and cfg.fetch_backend == "http":
+            # cookies middleware response half (Set-Cookie lines → jar
+            # delta rows, operators/cookies.py); built HERE so its count
+            # rides the single batched stats action instead of paying a
+            # separate per-epoch job (same discipline as cachehit/reval)
+            from ..operators.cookies import parse_set_cookies
+
+            new_cookies = parse_set_cookies(fetched, e)
+            stat_frames.append(
+                _tag(new_cookies.agg(F.count(F.lit(1)).alias("n")), "cookies")
+            )
         if "revalidated" in fetched.columns:
             stat_frames.append(
                 _tag(
@@ -1058,6 +1147,7 @@ class CrawlEngine:
         for sf_ in stat_frames[1:]:
             batched = batched.unionByName(sf_)
         n_popped = n_denied = queued_after = n_newdom = n_reval = 0
+        n_setcookie = 0
         outcome_counts: dict[tuple[int, str], int] = {}
         part_counts: dict[int, int] = {}
         drop_counts: dict[str, int] = {}
@@ -1085,6 +1175,8 @@ class CrawlEngine:
                 n_cache_hits = n
             elif t == "reval":
                 n_reval = n
+            elif t == "cookies":
+                n_setcookie = n
             elif t == "drop":
                 drop_counts[r["k1"]] = n
             elif t == "fetched":
@@ -1213,22 +1305,14 @@ class CrawlEngine:
                 "fresh_until",
                 F.lit(e).alias("epoch"),
             )
-        if cfg.cookies_enabled and cfg.fetch_backend == "http":
-            # cookies middleware response half: Set-Cookie lines → jar
-            # delta rows (latest-wins on read, operators/cookies.py; ref
-            # downloadermiddlewares/cookies.py process_response). Cache
-            # replays carry set_cookie=null and parse to nothing.
-            from ..operators.cookies import parse_set_cookies
-
-            new_cookies = parse_set_cookies(fetched, e)
-            n_setcookie = new_cookies.count()
-            if n_setcookie:
-                appends["cookies"] = new_cookies
-                mrows.append((e, -1, "cookies/received", float(n_setcookie)))
-                # rebuilt so the appended metrics row is included below
-                metrics_df = self.spark.createDataFrame(
-                    [r for r in mrows if r[3] > 0], schemas.METRICS
-                )
+        if new_cookies is not None and n_setcookie:
+            # count already collected in the batched stats action above
+            appends["cookies"] = new_cookies
+            mrows.append((e, -1, "cookies/received", float(n_setcookie)))
+            # rebuilt so the appended metrics row is included below
+            metrics_df = self.spark.createDataFrame(
+                [r for r in mrows if r[3] > 0], schemas.METRICS
+            )
         if robots_fetched_df is not None:
             appends["robots_http"] = robots_fetched_df
         if n_ok:

@@ -95,3 +95,40 @@ def test_with_ip_slot_real_loopback(spark):
     df = spark.createDataFrame([("localhost",)], "domain string")
     slot = with_ip_slot(df).collect()[0].slot
     assert slot in ("127.0.0.1", "::1")
+
+
+def test_apply_slot_mode_rederives_meta_slot_from_meta_json(spark):
+    """Regression (r5 review): the candidates union selects only
+    cand_cols, dropping the meta_slot column before _apply_slot_mode —
+    so a redirect child carrying meta['download_slot'] was re-slotted
+    to the resolved IP. The engine must re-derive meta_slot from
+    meta_json so the explicit override wins (upstream get_slot_key
+    checks meta FIRST, before the IP branch)."""
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.config import CrawlConfig
+    from scrapy_spark.sources.store import MemoryStore
+    from scrapy_spark.streaming.engine import CrawlEngine
+
+    empty = spark.createDataFrame([], "url_canon string, image_id string")
+    eng = CrawlEngine(
+        spark,
+        CrawlConfig(slot_key_mode="ip"),
+        MemoryStore(spark),
+        url_map=empty,
+        graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+        robots=spark.createDataFrame([], "domain string, rules string"),
+        resolver={"a.example": "10.0.0.1", "b.example": "10.0.0.1"}.get,
+    )
+    df = spark.createDataFrame(
+        [
+            ("a.example", '{"download_slot": "pinned-slot"}'),
+            ("b.example", None),
+        ],
+        "domain string, meta_json string",
+    ).withColumn("slot", F.col("domain"))
+    out = eng._apply_slot_mode(df)
+    slots = {r.domain: r.slot for r in out.collect()}
+    assert slots["a.example"] == "pinned-slot"  # meta wins over the IP
+    assert slots["b.example"] == "10.0.0.1"  # no meta → resolved IP
+    assert "meta_slot" not in out.columns  # helper column cleaned up
