@@ -47,6 +47,89 @@ class FeedConfig:
     root_element: str = "items"  # xml exporter root/item naming
     item_element: str = "item"
     options: dict = field(default_factory=dict)  # extra writer options
+    #: FEED post-processing plugins (ref: scrapy/extensions/
+    #: postprocessing.py ≈L20 — GzipPlugin/Bz2Plugin/LZMAPlugin). For the
+    #: distributed text formats this maps to the writer's native Hadoop
+    #: compression codec (gzip → GzipCodec, bz2 → BZip2Codec) — exactly
+    #: one plugin, applied cluster-side with no driver byte stream. The
+    #: single-stream formats reproduce the reference's wrapper chain
+    #: byte-for-byte (data flows plugin1 → plugin2 → … → file), so lzma
+    #: and chained plugins are supported there. parquet accepts gzip/zstd
+    #: (columnar codecs); anything else raises rather than silently
+    #: writing uncompressed.
+    postprocessing: tuple[str, ...] = ()
+
+
+#: plugin name → Hadoop codec for the distributed text writers (the
+#: cluster-side form of upstream's byte-stream plugins). lzma has no
+#: Hadoop codec; it stays a single-stream-format feature.
+_TEXT_CODECS = {"gzip": "gzip", "bz2": "bzip2"}
+#: parquet is columnar — compression is a page codec, not a stream wrap.
+_PARQUET_CODECS = {"gzip": "gzip", "zstd": "zstd"}
+
+
+def _distributed_codec(feed: FeedConfig) -> str | None:
+    """Resolve ``feed.postprocessing`` to ONE writer codec or raise.
+
+    Upstream chains plugins over a single byte stream; a distributed
+    writer compresses per output file with exactly one codec, so >1
+    plugin (or a codec Hadoop lacks) is an explicit error here — never a
+    silent uncompressed write (ref: postprocessing.py plugin order)."""
+    if not feed.postprocessing:
+        return None
+    if len(feed.postprocessing) > 1:
+        raise ValueError(
+            "distributed feeds support one compression plugin; chain "
+            f"{feed.postprocessing!r} via a single-stream format instead"
+        )
+    table = _PARQUET_CODECS if feed.format == "parquet" else _TEXT_CODECS
+    name = feed.postprocessing[0]
+    codec = table.get(name)
+    if codec is None:
+        raise ValueError(
+            f"postprocessing {name!r} unsupported for format "
+            f"{feed.format!r}; supported: {sorted(table)} "
+            "(lzma/chaining: use a single-stream format)"
+        )
+    return codec
+
+
+class _PluginChain:
+    """The reference's PostProcessingManager shape (postprocessing.py
+    ≈L60): data flows plugin1 → plugin2 → … → file, so the on-disk bytes
+    are pluginN(…plugin1(data)). Built by wrapping the raw file in
+    reverse plugin order; close() closes outermost-first because gzip/
+    bz2/lzma file objects do NOT close a fileobj they were handed."""
+
+    _OPENERS = {
+        "gzip": lambda fh: __import__("gzip").GzipFile(fileobj=fh, mode="wb", mtime=0),
+        "bz2": lambda fh: __import__("bz2").BZ2File(fh, "wb"),
+        "lzma": lambda fh: __import__("lzma").LZMAFile(fh, "wb"),
+    }
+
+    def __init__(self, path: str, plugins: tuple[str, ...], text: bool):
+        self._members = [open(path, "wb")]
+        for name in reversed(plugins):
+            try:
+                opener = self._OPENERS[name]
+            except KeyError:
+                self.close()
+                raise ValueError(f"unknown postprocessing plugin {name!r}")
+            self._members.append(opener(self._members[-1]))
+        if text:
+            import io
+
+            self._members.append(
+                io.TextIOWrapper(self._members[-1], encoding="utf-8")
+            )
+        self._top = self._members[-1]
+
+    def write(self, data):
+        self._top.write(data)
+
+    def close(self) -> None:
+        for member in reversed(self._members):
+            member.close()
 
 
 def _xml_escape(col):
@@ -73,7 +156,10 @@ def export_items(df: DataFrame, feed: FeedConfig) -> None:
     """Write one feed. Distributed writer; batching via maxRecordsPerFile
     (ref: FEED_EXPORT_BATCH_ITEM_COUNT, feedexport.py ≈L330)."""
     out = _prepare(df, feed)
+    codec = _distributed_codec(feed)
     writer = out.write.mode("overwrite")
+    if codec:
+        writer = writer.option("compression", codec)
     if feed.batch_item_count:
         writer = writer.option("maxRecordsPerFile", feed.batch_item_count)
     for k, v in feed.options.items():
@@ -94,11 +180,14 @@ def export_items(df: DataFrame, feed: FeedConfig) -> None:
                 F.lit(f"</{name}>"),
             ]
         parts.append(F.lit(f"</{feed.item_element}>"))
-        out.select(F.concat(*parts).alias("value")).write.mode(
-            "overwrite"
-        ).option(
-            "maxRecordsPerFile", feed.batch_item_count or 0
-        ).text(feed.path)
+        xml_writer = (
+            out.select(F.concat(*parts).alias("value"))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", feed.batch_item_count or 0)
+        )
+        if codec:
+            xml_writer = xml_writer.option("compression", codec)
+        xml_writer.text(feed.path)
     else:
         raise ValueError(f"unknown feed format: {fmt}")
 
@@ -141,12 +230,15 @@ def export_single_stream(df: DataFrame, feed: FeedConfig) -> int:
         df = df.filter(feed.where)
     if feed.fields:
         df = df.select(*feed.fields)
-    mode = "w" if feed.format == "pprint" else "wb"
+    text_mode = feed.format == "pprint"
     batch = feed.batch_item_count
 
     def _open(batch_id: int):
         path = f"{feed.path}.{batch_id}" if batch else feed.path
-        return open(path, mode)
+        if feed.postprocessing:
+            # full upstream plugin-chain semantics (incl. lzma, chaining)
+            return _PluginChain(path, feed.postprocessing, text=text_mode)
+        return open(path, "w" if text_mode else "wb")
 
     def _dump(fh, d: dict) -> None:
         if feed.format == "pickle":

@@ -209,3 +209,131 @@ def test_export_all_routes_single_stream(items_df, tmp_path):
     with open(dst, "rb") as fh:
         first = pickle.load(fh)
     assert "image_id" in first
+
+
+# ------------------------- feed post-processing (ref: postprocessing.py)
+
+
+def test_gzip_postprocessing_distributed(items_df, tmp_path):
+    """GzipPlugin parity, cluster-side: jsonlines + ('gzip',) must write
+    .gz part files whose decompressed lines are the same records, and
+    Spark must read the feed back transparently."""
+    import gzip
+
+    dst = str(tmp_path / "jz")
+    export_items(
+        items_df,
+        FeedConfig(
+            path=dst,
+            format="jsonlines",
+            fields=("image_id", "w"),
+            postprocessing=("gzip",),
+        ),
+    )
+    parts = sorted(pathlib.Path(dst).glob("part-*.gz"))
+    assert parts, "expected gzip-compressed part files"
+    recs = []
+    for p in parts:
+        with gzip.open(p, "rt") as fh:
+            recs += [json.loads(l) for l in fh if l.strip()]
+    assert {r["image_id"] for r in recs} == {"img1", "img2", "img3"}
+    back = items_df.sparkSession.read.json(dst)
+    assert back.count() == 3
+
+
+def test_bz2_postprocessing_csv(items_df, tmp_path):
+    import bz2
+
+    dst = str(tmp_path / "cz")
+    export_items(
+        items_df,
+        FeedConfig(
+            path=dst,
+            format="csv",
+            fields=("image_id", "w"),
+            postprocessing=("bz2",),
+        ),
+    )
+    parts = sorted(pathlib.Path(dst).glob("part-*.bz2"))
+    assert parts
+    lines = []
+    for p in parts:
+        lines += bz2.open(p, "rt").read().splitlines()
+    assert sum(1 for l in lines if l and not l.startswith("image_id")) == 3
+
+
+def test_postprocessing_rejects_unsupported_distributed(items_df, tmp_path):
+    with pytest.raises(ValueError, match="lzma"):
+        export_items(
+            items_df,
+            FeedConfig(
+                path=str(tmp_path / "x"),
+                format="jsonlines",
+                postprocessing=("lzma",),
+            ),
+        )
+    with pytest.raises(ValueError, match="one compression plugin"):
+        export_items(
+            items_df,
+            FeedConfig(
+                path=str(tmp_path / "y"),
+                format="csv",
+                postprocessing=("gzip", "bz2"),
+            ),
+        )
+
+
+def test_single_stream_plugin_chain_matches_reference_order(items_df, tmp_path):
+    """PostProcessingManager semantics: plugins ('gzip','lzma') produce
+    lzma(gzip(data)) on disk — decode outermost-in and unpickle."""
+    import gzip
+    import lzma
+    import pickle
+
+    from scrapy_spark.sources.sinks import export_single_stream
+
+    dst = tmp_path / "feed.pickle"
+    n = export_single_stream(
+        items_df,
+        FeedConfig(
+            path=str(dst),
+            format="pickle",
+            fields=("image_id",),
+            postprocessing=("gzip", "lzma"),
+        ),
+    )
+    assert n == 3
+    inner = gzip.decompress(lzma.decompress(dst.read_bytes()))
+    import io
+
+    buf, recs = io.BytesIO(inner), []
+    while True:
+        try:
+            recs.append(pickle.load(buf))
+        except EOFError:
+            break
+    assert {r["image_id"] for r in recs} == {"img1", "img2", "img3"}
+
+
+def test_single_stream_lzma_pprint_text(items_df, tmp_path):
+    import ast
+    import lzma
+
+    from scrapy_spark.sources.sinks import export_single_stream
+
+    dst = tmp_path / "feed.pprint"
+    export_single_stream(
+        items_df,
+        FeedConfig(
+            path=str(dst),
+            format="pprint",
+            fields=("image_id", "w"),
+            postprocessing=("lzma",),
+        ),
+    )
+    recs = [
+        ast.literal_eval(x)
+        for x in lzma.open(dst, "rt").read().splitlines()
+        if x
+    ]
+    assert {r["image_id"] for r in recs} == {"img1", "img2", "img3"}
