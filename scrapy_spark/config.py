@@ -166,6 +166,13 @@ class CrawlConfig:
     # --- redirects (ref: downloadermiddlewares/redirect.py) -----------
     redirect_max_times: int = 20  # REDIRECT_MAX_TIMES
     redirect_priority_adjust: int = 2  # REDIRECT_PRIORITY_ADJUST
+    # MetaRefreshMiddleware (redirect.py ≈L90): follow
+    # <meta http-equiv=refresh> on 200 HTML responses like a redirect.
+    # http backend only (the synthetic parity fetcher carries no HTML).
+    metarefresh_enabled: bool = True  # METAREFRESH_ENABLED
+    metarefresh_maxdelay: int = 100  # METAREFRESH_MAXDELAY (strict <)
+    # METAREFRESH_IGNORE_TAGS — ["noscript"] since upstream's 2.11.2 fix
+    metarefresh_ignore_tags: tuple[str, ...] = ("noscript",)
 
     # --- http cache (ref: extensions/httpcache.py; default off like
     # HTTPCACHE_ENABLED — cache replay skips politeness delay, so the
@@ -190,6 +197,11 @@ class CrawlConfig:
     max_epochs: int = 1000
     close_itemcount: int = 0  # CLOSESPIDER_ITEMCOUNT, 0 = off
     close_pagecount: int = 0  # CLOSESPIDER_PAGECOUNT
+    close_errorcount: int = 0  # CLOSESPIDER_ERRORCOUNT (terminal failures)
+    # CLOSESPIDER_TIMEOUT, but on the VIRTUAL clock (ST2) so runs stay
+    # deterministic: close once e·epoch_quantum has covered this many
+    # seconds of simulated crawl time. 0 = off.
+    close_timeout_s: float = 0.0
 
     # --- physical tuning ----------------------------------------------
     frontier_partitions: int = 32  # P for pmod(xxhash64(fp), P) layout

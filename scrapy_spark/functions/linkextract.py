@@ -458,3 +458,59 @@ def explode_page_links(
         .withColumn("link_caption", F.col("__l.caption"))
         .drop(html_col, "__l")
     )
+
+
+# --------------------------------------------------- meta refresh (U21)
+def _strip_tag_spans(col, tag: str):
+    return F.regexp_replace(
+        col, f"(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>", " "
+    )
+
+
+def meta_refresh_target(
+    html, max_delay: float = 100.0, ignore_tags: tuple[str, ...] = ("noscript",)
+):
+    """``<meta http-equiv="refresh" content="N; url=...">`` → the refresh
+    URL as a Column, NULL when absent / delay ≥ ``max_delay`` / no
+    explicit ``url=`` part (ref: downloadermiddlewares/redirect.py
+    MetaRefreshMiddleware ≈L90 + w3lib.html.get_meta_refresh — the
+    middleware follows only ``if url and interval < maxdelay``).
+
+    Pure JVM Column algebra (regexp over the decoded html — no Python in
+    the per-response hot path): spans inside ``ignore_tags`` are removed
+    first (upstream METAREFRESH_IGNORE_TAGS, default ``["noscript"]``
+    since the 2.11.2 security fix), the FIRST refresh meta tag wins
+    (either attribute order), the content value may be double-/single-/
+    un-quoted, and common HTML entities in it are decoded. The returned
+    URL may be relative — resolve it against the request URL exactly
+    like a Location header (netfetch ``_urljoin_udf``)."""
+    col = html
+    for tag in ignore_tags:
+        col = _strip_tag_spans(col, tag)
+    tag_expr = F.regexp_extract(
+        col, "(?is)<meta\\b[^>]*http-equiv\\s*=\\s*[\"']?\\s*refresh\\b[^>]*>", 0
+    )
+    nz = lambda c: F.nullif(c, F.lit(""))  # noqa: E731
+    content = F.coalesce(
+        nz(F.regexp_extract(tag_expr, "(?is)content\\s*=\\s*\"([^\"]*)\"", 1)),
+        nz(F.regexp_extract(tag_expr, "(?is)content\\s*=\\s*'([^']*)'", 1)),
+        nz(F.regexp_extract(tag_expr, "(?is)content\\s*=\\s*([^\\s\"'>]+)", 1)),
+    )
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&#x27;", "'"), ("&amp;", "&"),
+    ):
+        content = F.replace(content, F.lit(ent), F.lit(ch))
+    delay = nz(
+        F.regexp_extract(content, "^\\s*(\\d+(?:\\.\\d+)?)\\s*(?:;|$)", 1)
+    ).cast("double")
+    url = nz(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_extract(content, "(?i);\\s*url\\s*=\\s*(.+)$", 1),
+                "^\\s*['\"]|['\"]\\s*$",
+                "",
+            )
+        )
+    )
+    return F.when(delay < F.lit(float(max_delay)), url)

@@ -570,10 +570,14 @@ def decode_text_udf(body: pd.Series, ctype: pd.Series, cenc: pd.Series) -> pd.Se
 
 
 def html_pages(done: DataFrame) -> DataFrame:
-    """200-status text/html rows → decoded unicode ``html`` column."""
-    return done.filter(
-        F.col("content_type").startswith("text/html")
-    ).withColumn(
+    """text/html rows → decoded unicode ``html`` column. When the engine
+    already decoded the bodies (the meta-refresh pass caches an ``html``
+    column on the epoch's fetched rows), reuse it — zero extra Arrow
+    decode passes."""
+    pages = done.filter(F.col("content_type").startswith("text/html"))
+    if "html" in done.columns:
+        return pages
+    return pages.withColumn(
         "html",
         decode_text_udf(
             F.col("body"), F.col("content_type"), F.col("content_encoding")

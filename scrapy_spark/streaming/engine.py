@@ -409,6 +409,19 @@ class CrawlEngine:
                 break
             if cfg.close_pagecount and sc["pages"] >= cfg.close_pagecount:
                 break
+            if (
+                cfg.close_errorcount
+                and sc.get("errors", 0) >= cfg.close_errorcount
+            ):
+                break
+            # CLOSESPIDER_TIMEOUT on the virtual clock: epoch e spans
+            # [e·q, (e+1)·q) ms of simulated time
+            if (
+                cfg.close_timeout_s
+                and (e + 1) * cfg.epoch_quantum_ms
+                >= cfg.close_timeout_s * 1000.0
+            ):
+                break
         return self.stats_log
 
     # ------------------------------------------------------------- one epoch
@@ -595,6 +608,46 @@ class CrawlEngine:
                 # responses do not re-run the cookies middleware
                 fetched = fetched.unionByName(hits, allowMissingColumns=True)
             # count deferred to the batched stats action ("cachehit" tag)
+        has_metarefresh = (
+            cfg.fetch_backend == "http" and cfg.metarefresh_enabled
+        )
+        if has_metarefresh:
+            # MetaRefreshMiddleware (redirect.py ≈L90): decode 200-HTML
+            # bodies ONCE here, before the epoch cache — the decoded
+            # ``html`` column is cached and reused by the link-extraction
+            # stage (html_pages), so enabling meta-refresh adds zero
+            # extra Arrow decode passes. ``mr_url`` is pure JVM regexp
+            # over that column, resolved against the request URL exactly
+            # like a Location header.
+            from ..functions.linkextract import meta_refresh_target
+            from ..operators.netfetch import _urljoin_udf, decode_text_udf
+
+            # any-status HTML, like upstream's isinstance(HtmlResponse)
+            # check. The inner when() masks the BYTES fed to the UDF —
+            # Spark hoists Python UDFs out of conditionals, so without
+            # the mask every non-HTML body (images!) would be decoded.
+            is_html = F.col("content_type").startswith("text/html")
+            fetched = fetched.withColumn(
+                "html",
+                F.when(
+                    is_html,
+                    decode_text_udf(
+                        F.when(is_html, F.col("body")),
+                        F.col("content_type"),
+                        F.col("content_encoding"),
+                    ),
+                ),
+            ).withColumn(
+                "mr_url",
+                _urljoin_udf(
+                    F.col("url"),
+                    meta_refresh_target(
+                        F.col("html"),
+                        cfg.metarefresh_maxdelay,
+                        cfg.metarefresh_ignore_tags,
+                    ),
+                ),
+            )
         fetched = fetched.withColumn("partition_id", F.spark_partition_id()).cache()
         # status 0 = network/transport error (http backend) — retryable,
         # like the reference's connection-error path (retry.py ≈L40);
@@ -652,11 +705,35 @@ class CrawlEngine:
         # ResponseFailed in the downloader — no response reaches the
         # spider middlewares)
         handled = status_handled & (F.col("status") != 0) & ~dataloss
-        outcome = (
+        # the redirect hop target, if any: Location (30x) first, then a
+        # meta-refresh on any HTML response the 30x branch didn't take —
+        # upstream's reverse-response-order chain (Redirect 600 →
+        # MetaRefresh 580 → Retry 550), so meta-refresh outranks retry
+        # and, unlike RedirectMiddleware, never consults handle_httpstatus
+        # (redirect.py ≈L90: only dont_redirect gates it). dataloss rows
+        # never reach the middlewares upstream, so they are excluded.
+        hop = F.when(
             # redirect suppression is the one downloader-mw early-out
             # handle_httpstatus has (redirect.py ≈L45)
+            is_redirect & ~handled,
+            F.col("redirect_to"),
+        )
+        if has_metarefresh:
+            hop = hop.when(
+                F.col("mr_url").isNotNull() & ~dont_redirect & ~dataloss,
+                F.col("mr_url"),
+            )
+        fetched = fetched.withColumn("hop_url", hop).withColumn(
+            # redirect_reasons meta entry: the status code for Location
+            # hops, the upstream literal "meta refresh" otherwise
+            "hop_reason",
             F.when(
-                is_redirect & ~handled,
+                is_redirect & ~handled, F.col("status").cast("string")
+            ).otherwise(F.lit("meta refresh")),
+        )
+        outcome = (
+            F.when(
+                F.col("hop_url").isNotNull(),
                 F.when(
                     F.col("redirects") < cfg.redirect_max_times, F.lit("redirect")
                 ).otherwise(F.lit("failed")),
@@ -912,7 +989,7 @@ class CrawlEngine:
         # redirect children (J7, ref redirect.py ≈L70): skip the 8b spider-
         # middleware filters, inherit dont_filter, depth unchanged
         redir_src = fetched.filter(F.col("outcome") == "redirect").select(
-            F.col("redirect_to").alias("url"),
+            F.col("hop_url").alias("url"),
             F.col("depth"),
             (F.col("priority") + cfg.redirect_priority_adjust)
             .cast("int")
@@ -927,7 +1004,7 @@ class CrawlEngine:
             # meta carries over + redirect_urls/reasons/times bookkeeping
             # (C11; redirect.py ≈L50)
             redirect_child_meta(
-                F.col("meta_json"), F.col("url"), F.col("status")
+                F.col("meta_json"), F.col("url"), F.col("hop_reason")
             ).alias("meta_json"),
         )
         redir_cand = (
@@ -994,14 +1071,28 @@ class CrawlEngine:
                 # recover by rebuilding at 2× over committed-seen ∪ this
                 # batch instead of crashing the epoch. The partially
                 # spliced filter is discarded wholesale, so no torn state
-                # survives. Match the over-capacity MESSAGE (driver-
-                # resident absorbs raise it as a RuntimeError directly,
-                # executor-resident ones surface it wrapped in a Spark
+                # survives. Match the two recoverable MESSAGES (driver-
+                # resident absorbs raise RuntimeError directly, executor-
+                # resident ones surface wrapped in a Spark
                 # PythonException) — a bare isinstance(RuntimeError)
-                # check would also swallow unrelated failures (e.g. the
-                # _splice layout-mismatch error, a real bug signal) and
-                # mask them behind a full rebuild every epoch.
-                if "over capacity" not in str(absorb_err):
+                # check would also swallow unrelated failures and mask
+                # them behind a full rebuild every epoch. A _splice
+                # layout mismatch means foreign/stale filter state (e.g.
+                # a checkpoint written by a different sizing) — the
+                # rebuild below restores the canonical layout from the
+                # committed seen set (the source of truth), so it cannot
+                # recur next epoch; warn so the anomaly stays visible.
+                msg = str(absorb_err)
+                if "differently-sized cuckoo" in msg:
+                    import warnings
+
+                    warnings.warn(
+                        "seen-filter layout mismatch during absorb; "
+                        "rebuilding from committed url_seen: " + msg,
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                elif "over capacity" not in msg:
                     raise
                 n_fresh = fresh.count()
                 all_fps = fresh.select("fp")
@@ -1272,6 +1363,7 @@ class CrawlEngine:
         scalars["next_seq"] = next_seq + n_new
         scalars["pages"] = scalars.get("pages", 0) + n_popped
         scalars["items"] = scalars.get("items", 0) + n_ok
+        scalars["errors"] = scalars.get("errors", 0) + n_failed
         appends = {}
         if n_popped:
             appends["pop_log"] = pop_log

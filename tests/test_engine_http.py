@@ -26,6 +26,14 @@ class _Site(http.server.BaseHTTPRequestHandler):
     def log_message(self, *a):
         pass
 
+    def _html(self, markup: str) -> None:
+        body = markup.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):
         if self.path.startswith("/r/"):
             # /r/<code>/<i> → <code> redirect to /p/<i> (302/303/307/308
@@ -35,6 +43,35 @@ class _Site(http.server.BaseHTTPRequestHandler):
             self.send_header("Location", f"/p/{i}")
             self.send_header("Content-Length", "0")
             self.end_headers()
+            return
+        if self.path.startswith("/mr/"):
+            # 200 HTML with an instant meta refresh: the page is REPLACED
+            # by the redirect upstream, so its anchor must never be
+            # followed (MetaRefreshMiddleware returns a Request)
+            i = self.path.rsplit("/", 1)[1]
+            self._html(
+                '<html><head><meta http-equiv="refresh" '
+                f'content="0; url=/p/{i}"></head>'
+                '<body><a href="/p/99">must-not-follow</a></body></html>'
+            )
+            return
+        if self.path.startswith("/mrslow/"):
+            # delay ≥ METAREFRESH_MAXDELAY → NOT followed; the page is
+            # delivered normally and its links are extracted
+            self._html(
+                '<html><head><meta http-equiv="refresh" '
+                'content="300; url=/p/1"></head>'
+                '<body><a href="/p/9">real-link</a></body></html>'
+            )
+            return
+        if self.path.startswith("/mrns/"):
+            # refresh only inside <noscript> → ignored per the upstream
+            # METAREFRESH_IGNORE_TAGS default; links extracted normally
+            self._html(
+                '<html><head><noscript><meta http-equiv="refresh" '
+                'content="0; url=/p/5"></noscript></head>'
+                '<body><a href="/p/3">real-link</a></body></html>'
+            )
             return
         if self.path.startswith("/big/"):
             body = b"A" * 4096  # larger than the test's download_maxsize
@@ -249,6 +286,168 @@ def test_engine_http_follows_all_redirect_codes(spark, site):
     assert json.loads(meta["redirect_urls"]) == [f"{site}/r/307/0"]
     assert json.loads(meta["redirect_reasons"]) == ["307"]
     assert meta["redirect_times"] == "1"
+
+
+def test_engine_http_meta_refresh(spark, site):
+    """MetaRefreshMiddleware parity (U21, redirect.py ≈L90): an instant
+    ``<meta http-equiv=refresh>`` on a 200 HTML page re-queues the target
+    like a redirect and SUPPRESSES the page's own links; a delay ≥
+    maxdelay is ignored; a refresh inside <noscript> is ignored (upstream
+    METAREFRESH_IGNORE_TAGS default) — all over a live loopback site."""
+    import json
+
+    import pandas as pd
+
+    cfg = CrawlConfig(
+        fetch_backend="http",
+        epoch_budget=16,
+        max_epochs=10,
+        depth_limit=1,
+        queue_order="fifo",
+        robotstxt_obey=False,
+        download_timeout_s=10.0,
+        deny_url_patterns=(r"/img/", r"/blocked/"),
+    )
+    store = MemoryStore(spark)
+    eng = CrawlEngine(
+        spark, cfg, store,
+        url_map=spark.createDataFrame([], "url_canon string, image_id string"),
+        graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+        robots=spark.createDataFrame([], "domain string, rules string"),
+    )
+    eng.bootstrap(
+        pd.DataFrame(
+            {"url": [f"{site}/mr/7", f"{site}/mrslow/4", f"{site}/mrns/6"],
+             "priority": [0, 0, 0]}
+        ),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}),
+    )
+    eng.run()
+
+    log = store.read("fetch_log").toPandas()
+    fetched = {u.split(":", 2)[-1].split("/", 1)[1] for u in log.url_canon}
+    # the refresh target was followed like a redirect
+    assert "p/7" in fetched
+    # the refreshing page's own anchor was NOT followed (page replaced)
+    assert "p/99" not in fetched
+    # delay 300 ≥ maxdelay 100: not followed; the page's links WERE
+    assert "p/1" not in fetched and "p/9" in fetched
+    # noscript-wrapped refresh ignored; the page's links extracted
+    assert "p/5" not in fetched and "p/3" in fetched
+
+    m = store.read("metrics").toPandas()
+    agg = m[m.partition_id == -1].groupby("key")["value"].sum().to_dict()
+    assert agg.get("redirect/count", 0) == 1  # exactly the /mr/7 hop
+
+    # C11 bookkeeping: reason is the upstream literal "meta refresh"
+    store2 = MemoryStore(spark)
+    eng2 = CrawlEngine(
+        spark, cfg, store2,
+        url_map=spark.createDataFrame([], "url_canon string, image_id string"),
+        graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+        robots=spark.createDataFrame([], "domain string, rules string"),
+    )
+    eng2.bootstrap(
+        pd.DataFrame({"url": [f"{site}/mr/2"], "priority": [0]}),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}),
+    )
+    eng2.run(max_epochs=1)
+    child = store2.read("frontier").toPandas()
+    assert len(child) == 1 and child.url.iloc[0].endswith("/p/2")
+    meta = json.loads(child.meta_json.iloc[0])
+    assert json.loads(meta["redirect_urls"]) == [f"{site}/mr/2"]
+    assert json.loads(meta["redirect_reasons"]) == ["meta refresh"]
+    assert meta["redirect_times"] == "1"
+
+    # metarefresh_enabled=False restores plain-200 delivery
+    cfg_off = CrawlConfig(
+        **{**cfg.__dict__, "metarefresh_enabled": False, "max_epochs": 2}
+    )
+    store3 = MemoryStore(spark)
+    eng3 = CrawlEngine(
+        spark, cfg_off, store3,
+        url_map=spark.createDataFrame([], "url_canon string, image_id string"),
+        graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+        robots=spark.createDataFrame([], "domain string, rules string"),
+    )
+    eng3.bootstrap(
+        pd.DataFrame({"url": [f"{site}/mr/7"], "priority": [0]}),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}),
+    )
+    eng3.run()
+    log3 = store3.read("fetch_log").toPandas()
+    f3 = {u.split(":", 2)[-1].split("/", 1)[1] for u in log3.url_canon}
+    assert "p/7" not in f3  # no refresh hop...
+    assert "p/99" in f3  # ...and the page's anchor WAS followed
+
+
+def _bare_engine(spark, cfg, store):
+    return CrawlEngine(
+        spark, cfg, store,
+        url_map=spark.createDataFrame([], "url_canon string, image_id string"),
+        graph=spark.createDataFrame([], "src_canon string, dst_url string"),
+        robots=spark.createDataFrame([], "domain string, rules string"),
+    )
+
+
+def test_engine_closespider_errorcount(spark, site):
+    """A7 CLOSESPIDER_ERRORCOUNT: the crawl closes once terminal
+    failures reach the threshold, even with work still queued."""
+    import pandas as pd
+
+    cfg = CrawlConfig(
+        fetch_backend="http",
+        epoch_budget=16,
+        max_epochs=30,
+        depth_limit=4,
+        queue_order="fifo",
+        robotstxt_obey=False,
+        retry_times=0,
+        download_timeout_s=10.0,
+        close_errorcount=1,
+        deny_url_patterns=(r"/img/", r"/blocked/"),
+    )
+    store = MemoryStore(spark)
+    eng = _bare_engine(spark, cfg, store)
+    eng.bootstrap(
+        pd.DataFrame({"url": [f"{site}/nope", f"{site}/p/0"], "priority": [0, 0]}),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}),
+    )
+    stats = eng.run()
+    # both seeds popped in epoch 0; the 404 is one terminal failure →
+    # closed right there with /p/0's children still queued
+    assert len(stats) == 1
+    assert stats[-1].queued_after > 0
+    assert store.scalars.get("errors", 0) == 1
+
+
+def test_engine_closespider_timeout_virtual_clock(spark, site):
+    """A7 CLOSESPIDER_TIMEOUT on the deterministic virtual clock: 3
+    simulated seconds at 1 s/epoch → exactly 3 epochs, frontier
+    nonempty."""
+    import pandas as pd
+
+    cfg = CrawlConfig(
+        fetch_backend="http",
+        epoch_budget=1,
+        max_epochs=30,
+        depth_limit=8,
+        queue_order="fifo",
+        robotstxt_obey=False,
+        download_timeout_s=10.0,
+        epoch_quantum_ms=1000,
+        close_timeout_s=3.0,
+        deny_url_patterns=(r"/img/", r"/blocked/"),
+    )
+    store = MemoryStore(spark)
+    eng = _bare_engine(spark, cfg, store)
+    eng.bootstrap(
+        pd.DataFrame({"url": [f"{site}/p/0"], "priority": [0]}),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}),
+    )
+    stats = eng.run()
+    assert len(stats) == 3  # epochs 0,1,2 — then the clock cap fires
+    assert stats[-1].queued_after > 0  # the tree was NOT exhausted
 
 
 @pytest.mark.parametrize("fail_on_dataloss", [True, False])

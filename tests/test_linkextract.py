@@ -320,3 +320,61 @@ def test_explode_page_links_caption_column(spark):
         for r in explode_page_links(pages).collect()
     }
     assert rows == {"http://x/u": "the alt", "http://x/v": "plain"}
+
+
+# ------------------------------------------------- meta refresh (U21)
+def test_meta_refresh_target_matrix(spark):
+    """JVM-side <meta http-equiv=refresh> extraction: both attribute
+    orders, all three quoting styles, entity-decoded URLs, maxdelay
+    gate (strict <), no-url and noscript-wrapped tags ignored — the
+    w3lib.get_meta_refresh surface MetaRefreshMiddleware consumes."""
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.functions.linkextract import meta_refresh_target
+
+    cases = [
+        ('<meta http-equiv="refresh" content="5; url=http://a/b">', "http://a/b"),
+        ("<META CONTENT='0;URL=/rel' HTTP-EQUIV=REFRESH>", "/rel"),  # order B
+        ("<meta http-equiv=refresh content=3;url=http://bare>", "http://bare"),
+        ('<meta http-equiv="refresh" content="100; url=http://slow">', None),
+        ('<meta http-equiv="refresh" content="99.5; url=http://ok">', "http://ok"),
+        ('<meta http-equiv="refresh" content="5">', None),  # no url= part
+        ('<noscript><meta http-equiv="refresh" content="0;url=/ns"></noscript>', None),
+        ('<meta http-equiv="refresh" content="1;url=\'/q?a=1&amp;b=2\'">', "/q?a=1&b=2"),
+        ('<meta name="x" content="y"><meta http-equiv="refresh" content="0;url=/second">', "/second"),
+        ("plain text", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], "i int, html string"
+    )
+    got = {
+        r.i: r.mr
+        for r in df.select(
+            "i", meta_refresh_target(F.col("html")).alias("mr")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_meta_refresh_ignore_tags_configurable(spark):
+    from pyspark.sql import functions as F
+
+    from scrapy_spark.functions.linkextract import meta_refresh_target
+
+    html = '<script><meta http-equiv="refresh" content="0;url=/js"></script>'
+    df = spark.createDataFrame([(html,)], "html string")
+    # default ignore list is ("noscript",): script content IS scanned,
+    # matching upstream's post-2.11.2 METAREFRESH_IGNORE_TAGS
+    assert (
+        df.select(meta_refresh_target(F.col("html")).alias("m")).first().m == "/js"
+    )
+    assert (
+        df.select(
+            meta_refresh_target(
+                F.col("html"), ignore_tags=("script", "noscript")
+            ).alias("m")
+        ).first().m
+        is None
+    )
