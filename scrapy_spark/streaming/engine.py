@@ -38,6 +38,39 @@ from ..functions.udfs import with_request_identity
 
 FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
 
+#: target rows per partition for per-epoch delta tables (~tens of MB for
+#: fp-sized rows) — deltas are written once and re-read every epoch, so
+#: partition count must track DATA size, not the session's shuffle
+#: parallelism
+_DELTA_ROWS_PER_PART = 500_000
+
+
+def _local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-local rows → a ONE-partition DataFrame. createDataFrame
+    alone parallelizes into defaultParallelism slices (32 near-empty
+    partitions per epoch for a handful of metrics rows), and
+    coalesce(1) over a parallelized local collection is pathological in
+    the local scheduler (~4 s per materialization, measured — the single
+    merged task re-fetches every parent slice from the driver); a
+    1-slice parallelize at creation is free."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
+def _sized_delta(df: DataFrame, n_rows: int) -> DataFrame:
+    """Right-size a per-epoch delta before it is committed.
+
+    Every append/insert delta inherits the full shuffle parallelism (32+
+    partitions) no matter how few rows it holds; the stores keep deltas
+    as-is (checkpointed pieces / parquet file lists), so after E epochs a
+    reader of url_seen or the frontier launches E × shuffle_partitions
+    mostly-empty tasks — the classic small-files problem, and measurably
+    the fastest-growing per-epoch cost in the bench trace. The row count
+    is already known driver-side at commit time; coalesce (narrow, no
+    shuffle) down to ceil(n/rows_per_part). Large deltas keep their
+    parallelism: coalesce never increases partition count."""
+    target = max(1, -(-max(n_rows, 1) // _DELTA_ROWS_PER_PART))
+    return df.coalesce(target)
+
 
 @dataclass
 class EpochStats:
@@ -1354,8 +1387,8 @@ class CrawlEngine:
             )
             mrows.append((e, -1, "robotstxt/request_count", float(n_newdom)))
         mrows += part_rows
-        metrics_df = self.spark.createDataFrame(
-            [r for r in mrows if r[3] > 0], schemas.METRICS
+        metrics_df = _local_df(
+            self.spark, [r for r in mrows if r[3] > 0], schemas.METRICS
         )
 
         # SEMANTICS 10: atomic commit
@@ -1366,8 +1399,8 @@ class CrawlEngine:
         scalars["errors"] = scalars.get("errors", 0) + n_failed
         appends = {}
         if n_popped:
-            appends["pop_log"] = pop_log
-            appends["fetch_log"] = fetch_log
+            appends["pop_log"] = _sized_delta(pop_log, n_popped)
+            appends["fetch_log"] = _sized_delta(fetch_log, n_popped)
         if (
             cfg.httpcache_enabled
             and cfg.fetch_backend == "http"
@@ -1402,15 +1435,15 @@ class CrawlEngine:
             appends["cookies"] = new_cookies
             mrows.append((e, -1, "cookies/received", float(n_setcookie)))
             # rebuilt so the appended metrics row is included below
-            metrics_df = self.spark.createDataFrame(
-                [r for r in mrows if r[3] > 0], schemas.METRICS
+            metrics_df = _local_df(
+                self.spark, [r for r in mrows if r[3] > 0], schemas.METRICS
             )
         if robots_fetched_df is not None:
             appends["robots_http"] = robots_fetched_df
         if n_ok:
-            appends["items"] = items
+            appends["items"] = _sized_delta(items, n_ok)
         if n_fresh:
-            appends["url_seen"] = seen_append
+            appends["url_seen"] = _sized_delta(seen_append, n_fresh)
         if mrows:
             appends["metrics"] = metrics_df
         # Frontier goes in as a DELTA (delete popped/denied seqs + insert
@@ -1425,11 +1458,23 @@ class CrawlEngine:
             replace={"domain_state": dom_next},
             append=appends,
             scalars=scalars,
-            mutate={"frontier": ("seq", delete_keys, new_rows)},
+            mutate={"frontier": ("seq", delete_keys, _sized_delta(new_rows, n_new))},
             # frontier_next is computed for the queued_after stat anyway;
             # stores use it to skip re-resolving the delta chain (MOR
-            # contract: it equals resolve(base, deltas) by construction)
-            resolved={"frontier": frontier_next},
+            # contract: it equals resolve(base, deltas) by construction).
+            # Partition-capped: the union with the epoch's new_rows
+            # otherwise grows the resolved table by shuffle_partitions
+            # every epoch — but unlike a delta it is a FULL table whose
+            # materialization must stay parallel, so the floor is the
+            # session parallelism, not 1.
+            resolved={
+                "frontier": frontier_next.coalesce(
+                    max(
+                        spark.sparkContext.defaultParallelism,
+                        -(-max(queued_after, 1) // _DELTA_ROWS_PER_PART),
+                    )
+                )
+            },
         )
         trace('commit')
         if self.bloom is not None and (
