@@ -560,6 +560,16 @@ def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REMOVAL (datapipe/dedup.py remove_dup_spans, the
+    transform half of the Lee-et-al pair): tokens covered by any 8-gram
+    occurring in >=2 documents are cut; survivors rejoin with single
+    spaces. Exact strings + integers -> hash-safe oracle."""
+    from scrapy_spark.datapipe.dedup import remove_dup_spans
+
+    return remove_dup_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 characteristic terms (datapipe/text.py top_terms):
     TF-IDF-shaped ranking with the exact integer rarity surrogate
@@ -1187,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "quality_heuristic_rules": q_quality_heuristic_rules,
         "dedup_span_stats": q_dedup_span_stats,
+        "dedup_span_removal": q_dedup_span_removal,
         "text_top_terms": q_text_top_terms,
         "pack_sequences": q_pack_sequences,
         "semdedup_reps": q_semdedup_reps,
@@ -2268,6 +2279,38 @@ def oracle_sql() -> dict[str, str]:
                       OR contains(lower(text), 'javascript'))
                        AS has_blocklist
               FROM base)
+        """,
+        "dedup_span_removal": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            pg0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS i0, t
+                    FROM toks WHERE len(t) >= 8),
+            pg AS (SELECT doc_id, i0 + 1 AS p,
+                          t[i0+1] || ' ' || t[i0+2] || ' ' || t[i0+3] || ' '
+                          || t[i0+4] || ' ' || t[i0+5] || ' ' || t[i0+6]
+                          || ' ' || t[i0+7] || ' ' || t[i0+8] AS shingle
+                   FROM pg0),
+            dup AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM pg)
+                    GROUP BY shingle HAVING count(*) >= 2),
+            dp AS (SELECT doc_id, p FROM pg JOIN dup USING (shingle)),
+            tk0 AS (SELECT doc_id, unnest(range(len(t))) AS j0, t FROM toks),
+            kept AS (SELECT tk0.doc_id, j0 + 1 AS i, t[j0+1] AS tok
+                     FROM tk0
+                     WHERE NOT EXISTS (
+                       SELECT 1 FROM dp
+                       WHERE dp.doc_id = tk0.doc_id
+                         AND tk0.j0 + 1 BETWEEN dp.p AND dp.p + 7)),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(agg.clean_text, '') AS clean_text,
+                   CAST(coalesce(len(toks.t), 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(len(toks.t), 0)
+                        - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+            FROM documents d
+            LEFT JOIN toks ON toks.doc_id = d.doc_id
+            LEFT JOIN agg ON agg.doc_id = d.doc_id
         """,
         "dedup_span_stats": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "quality_heuristic_rules",
     "dedup_span_stats",
+    "dedup_span_removal",
     "text_top_terms",
     "html_extract_text",
     "pack_sequences",

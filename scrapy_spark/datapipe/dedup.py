@@ -633,6 +633,85 @@ def dup_span_stats(
     )
 
 
+def remove_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The REMOVAL half of span-level dedup (Lee et al. ExactSubstr-style;
+    ``dup_span_stats`` above is the diagnostic half): cut from every
+    document the token spans whose ``n``-grams also occur in at least one
+    OTHER document, and return the cleaned text.
+
+    Definition (shared verbatim with the DuckDB oracle): a position ``p``
+    (1-based) in a doc is a *duplicated span start* when its token
+    ``n``-gram has cross-document frequency ≥ 2 over DISTINCT-per-doc
+    grams — within-doc repeats alone do not trigger removal. A token is
+    dropped iff it is covered by any duplicated span ``[p, p+n-1]``;
+    survivors are re-joined with single spaces.
+
+    → (``id_col``, clean_text, n_tokens, n_removed) — exact strings +
+    integers, hash-safe for the oracle.
+
+    Plan: positional gram explode (JVM transform/sequence, no Python) →
+    df hash-agg over distinct-per-doc grams → shuffle join back on the
+    gram key → per-doc collect of duplicated starts → JVM array algebra
+    (sequence/flatten per start, indexed higher-order filter) rebuilds
+    the text in ONE projection. Same two-shuffle shape and skew behavior
+    as ``dup_span_stats``; the per-token coverage test is
+    O(tokens × covered) per doc, fine at document sizes (a sorted-array
+    binary search is the escalation if pathological docs appear)."""
+    toks = F.col("__toks")
+    posgrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.struct(
+            i.alias("p"),
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ).alias("shingle"),
+        ),
+    )
+    with_toks = docs.withColumn("__toks", tokens(F.col(text_col)))
+    pg = (
+        with_toks.filter(F.size(toks) >= n)
+        .select(id_col, F.explode(posgrams).alias("__g"))
+        .select(id_col, F.col("__g.p").alias("p"), F.col("__g.shingle").alias("shingle"))
+    )
+    dup_grams = (
+        pg.select(id_col, "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("shingle")
+    )
+    dup_starts = (
+        pg.join(dup_grams, "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_list("p").alias("__dp"))
+    )
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__dp"), F.array().cast("array<int>")),
+                lambda p: F.sequence(p, p + (n - 1)),
+            )
+        )
+    )
+    kept = F.filter(toks, lambda t, i: ~F.array_contains(F.col("__cov"), i + 1))
+    return (
+        with_toks.join(dup_starts, id_col, "left")
+        .withColumn("__cov", cov)
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 # ------------------------------------------------------ incremental dedup
 def incremental_dedup(
     delta: DataFrame,

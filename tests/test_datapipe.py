@@ -469,3 +469,31 @@ def test_incremental_dedup_verdicts(spark):
     assert out[102].jaccard == round(8 / 9, 4)
     assert out[103].verdict == "new" and out[103].match_id is None
     assert out[104].verdict == "new" and out[104].jaccard is None
+
+
+def test_remove_dup_spans_semantics(spark):
+    """Span removal (Lee-et-al transform half): only tokens covered by a
+    CROSS-document duplicated n-gram are cut; within-doc repeats alone
+    survive; short docs pass through; counts are exact."""
+    from scrapy_spark.datapipe.dedup import remove_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta epsilon zeta unique tail here"),
+            ("b", "prefix words alpha beta gamma delta epsilon zeta other end"),
+            # within-doc repetition of a 6-gram, but no other doc has it
+            ("c", "one two three four five six one two three four five six"),
+            ("d", "short doc"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(docs, n=6).collect()}
+    # the shared 6-gram "alpha…zeta" covers those 6 tokens in both docs
+    assert out["a"].clean_text == "unique tail here"
+    assert out["a"].n_removed == 6 and out["a"].n_tokens == 9
+    assert out["b"].clean_text == "prefix words other end"
+    assert out["b"].n_removed == 6 and out["b"].n_tokens == 10
+    # within-doc-only duplication is NOT removed (df counts distinct docs)
+    assert out["c"].n_removed == 0
+    assert out["c"].clean_text.startswith("one two three")
+    assert out["d"].clean_text == "short doc" and out["d"].n_removed == 0
