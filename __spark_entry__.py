@@ -570,6 +570,16 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_dup_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode-script composition (datapipe/text.py script_mix):
+    per-script char counts over explicit codepoint ranges + dominant
+    script. Integer counts + one string -> hash-safe; the ranges are
+    \\x{..} classes that mean the same thing in Java regex and RE2."""
+    from scrapy_spark.datapipe.text import script_mix
+
+    return script_mix(_t(spark, sf_dir, "documents"))
+
+
 def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 characteristic terms (datapipe/text.py top_terms):
     TF-IDF-shaped ranking with the exact integer rarity surrogate
@@ -1198,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_heuristic_rules": q_quality_heuristic_rules,
         "dedup_span_stats": q_dedup_span_stats,
         "dedup_span_removal": q_dedup_span_removal,
+        "script_mix": q_script_mix,
         "text_top_terms": q_text_top_terms,
         "pack_sequences": q_pack_sequences,
         "semdedup_reps": q_semdedup_reps,
@@ -1227,6 +1238,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _script_mix_oracle_sql() -> str:
+    """script_mix replayed in DuckDB — generated from the SAME
+    SCRIPT_RANGES tuple the Spark operator uses, so the two engines
+    cannot drift. RE2 reads the \\x{..} range classes identically to
+    Java regex (single-quoted DuckDB strings pass backslashes raw)."""
+    from scrapy_spark.datapipe.text import SCRIPT_RANGES
+
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS {name}"
+        for name, pat in SCRIPT_RANGES
+    )
+    unions = "\n              UNION ALL ".join(
+        f"SELECT doc_id, '{name}' AS name, {name} AS cnt FROM c"
+        for name, _ in SCRIPT_RANGES
+    )
+    return f"""
+        WITH c AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                   {counts}
+          FROM documents),
+        dom AS (
+          SELECT doc_id, name,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY cnt DESC, name ASC) AS rn
+          FROM ({unions}))
+        SELECT c.*, dom.name AS dominant_script
+        FROM c JOIN dom ON c.doc_id = dom.doc_id AND dom.rn = 1
+    """
 
 
 def _simhash_oracle_sql() -> str:
@@ -2280,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
                        AS has_blocklist
               FROM base)
         """,
+        "script_mix": _script_mix_oracle_sql(),
         "dedup_span_removal": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             pg0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS i0, t

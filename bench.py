@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "quality_heuristic_rules",
     "dedup_span_stats",
     "dedup_span_removal",
+    "script_mix",
     "text_top_terms",
     "html_extract_text",
     "pack_sequences",

@@ -198,6 +198,12 @@ class CrawlConfig:
     close_itemcount: int = 0  # CLOSESPIDER_ITEMCOUNT, 0 = off
     close_pagecount: int = 0  # CLOSESPIDER_PAGECOUNT
     close_errorcount: int = 0  # CLOSESPIDER_ERRORCOUNT (terminal failures)
+    # Per-domain page budget (beyond upstream; Heritrix maxDocsPerHost /
+    # Nutch generate.max.count analog): once a slot's cumulative pops
+    # reach this, its remaining frontier rows are dropped like robots
+    # denials (metric domain_budget/dropped). 0 = off. Enforced at epoch
+    # granularity (may overshoot by one epoch's slot concurrency).
+    domain_page_budget: int = 0
     # CLOSESPIDER_TIMEOUT, but on the VIRTUAL clock (ST2) so runs stay
     # deterministic: close once e·epoch_quantum has covered this many
     # seconds of simulated crawl time. 0 = off.

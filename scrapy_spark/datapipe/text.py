@@ -298,10 +298,74 @@ def corpus_mix(
     )
 
 
+
+
+#: Unicode-script classes as EXPLICIT codepoint ranges (not named
+#: properties): \x{...} range classes mean the same thing in Java regex
+#: (Spark) and RE2 (the DuckDB oracle) regardless of either engine's
+#: Unicode table version — named \p{Script=...} classes do not.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("hebrew", r"[\x{0590}-\x{05FF}]"),
+    ("devanagari", r"[\x{0900}-\x{097F}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}]"),
+    ("kana", r"[\x{3040}-\x{30FF}]"),
+    ("hangul", r"[\x{AC00}-\x{D7AF}]"),
+    ("digit", "[0-9]"),
+)
+
+
+def script_mix(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    r"""Per-document Unicode-script composition — the routing signal a
+    multilingual pipeline uses before language-specific processing
+    (which tokenizer/lang-id model to apply, whether to drop
+    mixed-script spam): per-script character counts over
+    ``SCRIPT_RANGES``, total characters, and the dominant script
+    (most characters; ties and all-zero resolve to the alphabetically
+    first name, deterministic across engines).
+
+    All integers + one string — hash-safe for the DuckDB oracle, which
+    replays the same \x{...} range regexes under RE2. One codegen'd
+    scan, a dozen ``regexp_extract_all`` counts, no shuffle, no Python
+    — map-only at any corpus size."""
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("long")
+        for name, pat in SCRIPT_RANGES
+    }
+    out = df.select(
+        id_col,
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
+    # dominant: max count, ties by name — greatest(structs) compares
+    # fields in order, so (count, NEGATED name-rank) picks the
+    # alphabetically-first name among equals
+    names = sorted(n for n, _ in SCRIPT_RANGES)
+    dominant = F.greatest(
+        *[
+            F.struct(
+                F.col(n).alias("c"),
+                F.lit(-i).alias("nr"),
+                F.lit(n).alias("name"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )["name"]
+    return out.withColumn("dominant_script", dominant)
+
+
 __all__ = [
     "tokens",
     "token_stats",
     "corpus_mix",
+    "script_mix",
     "quality_score",
     "lang_id",
     "token_count_estimate",

@@ -544,6 +544,35 @@ class CrawlEngine:
             allowed, denied = poppable, None
         trace('robots_gate')
 
+        # Per-domain page budget (beyond upstream; the Heritrix
+        # maxDocsPerHost / Nutch generate.max.count analog — at 10^10-URL
+        # scale a handful of mega-hosts would otherwise absorb the whole
+        # politeness-bounded crawl). Slots whose CUMULATIVE pop count has
+        # reached the budget get their remaining frontier rows dropped
+        # like robots denials (deleted + counted), so the crawl still
+        # terminates. Enforced at epoch granularity against committed
+        # pop_log history: an epoch may overshoot by at most that slot's
+        # per-epoch concurrency cap — the precise-counter alternative
+        # would serialize pop on a per-slot running total.
+        budget_dropped = None
+        if cfg.domain_page_budget > 0:
+            plog = self.store.read("pop_log")
+            if plog is not None:
+                exhausted = (
+                    plog.groupBy("slot")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") >= cfg.domain_page_budget)
+                    .select("slot")
+                )
+                budget_dropped = (
+                    allowed.join(F.broadcast(exhausted), "slot", "left_semi")
+                    .select("seq", "fp")
+                    .cache()
+                )
+                allowed = allowed.join(
+                    F.broadcast(exhausted), "slot", "left_anti"
+                )
+
         # SEMANTICS 4: pop
         conc_default = F.lit(cfg.concurrent_per_domain)
         allowed = allowed.withColumn(
@@ -1201,6 +1230,10 @@ class CrawlEngine:
             frontier_next = frontier_next.join(
                 F.broadcast(denied.select("seq")), "seq", "left_anti"
             )
+        if budget_dropped is not None:
+            frontier_next = frontier_next.join(
+                F.broadcast(budget_dropped.select("seq")), "seq", "left_anti"
+            )
         frontier_next = (
             frontier_next.select(*FRONTIER_COLS).unionByName(new_rows).cache()
         )
@@ -1238,6 +1271,13 @@ class CrawlEngine:
             stat_frames.append(
                 _tag(denied.agg(F.count(F.lit(1)).alias("n")), "denied")
             )
+        if budget_dropped is not None:
+            stat_frames.append(
+                _tag(
+                    budget_dropped.agg(F.count(F.lit(1)).alias("n")),
+                    "budgetdrop",
+                )
+            )
         if new_domain_urls is not None:
             stat_frames.append(
                 _tag(new_domain_urls.agg(F.count(F.lit(1)).alias("n")), "newdom")
@@ -1271,6 +1311,7 @@ class CrawlEngine:
         for sf_ in stat_frames[1:]:
             batched = batched.unionByName(sf_)
         n_popped = n_denied = queued_after = n_newdom = n_reval = 0
+        n_budget = 0
         n_setcookie = 0
         outcome_counts: dict[tuple[int, str], int] = {}
         part_counts: dict[int, int] = {}
@@ -1289,6 +1330,8 @@ class CrawlEngine:
             t, n = r["t"], int(r["n"])
             if t == "popped":
                 n_popped = n
+            elif t == "budgetdrop":
+                n_budget = n
             elif t == "denied":
                 n_denied = n
             elif t == "queued":
@@ -1363,6 +1406,7 @@ class CrawlEngine:
             (e, -1, "scheduler/enqueued", float(n_new)),
             (e, -1, "dupefilter/filtered", float(n_dupes)),
             (e, -1, "robotstxt/forbidden", float(n_denied)),
+            (e, -1, "domain_budget/dropped", float(n_budget)),
             (e, -1, "item_scraped_count", float(n_ok)),
             (e, -1, "retry/count", float(n_retry)),
             (e, -1, "redirect/count", float(n_redirect)),
@@ -1453,6 +1497,8 @@ class CrawlEngine:
         delete_keys = popped.select("seq")
         if denied is not None:
             delete_keys = delete_keys.unionByName(denied.select("seq"))
+        if budget_dropped is not None:
+            delete_keys = delete_keys.unionByName(budget_dropped.select("seq"))
         self.store.commit(
             e,
             replace={"domain_state": dom_next},
@@ -1492,10 +1538,14 @@ class CrawlEngine:
             sm_xml.unpersist()
         if denied is not None:
             denied.unpersist()
+        if budget_dropped is not None:
+            budget_dropped.unpersist()
         return EpochStats(
             epoch=e,
             popped=n_popped,
-            denied=n_denied,
+            # frontier rows removed without fetching (conservation:
+            # robots denials + budget drops)
+            denied=n_denied + n_budget,
             fetched_ok=n_ok,
             retried=n_retry,
             failed=n_failed,

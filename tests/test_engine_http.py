@@ -450,6 +450,45 @@ def test_engine_closespider_timeout_virtual_clock(spark, site):
     assert stats[-1].queued_after > 0  # the tree was NOT exhausted
 
 
+def test_engine_domain_page_budget(spark, site):
+    """Per-domain page budget (beyond upstream — the Heritrix
+    maxDocsPerHost analog): once a slot's cumulative pops reach the
+    budget, its remaining frontier rows are dropped like robots denials
+    (counted, deleted, crawl terminates) instead of starving forever.
+    Epoch-granularity enforcement may overshoot by one epoch's pops."""
+    import pandas as pd
+
+    cfg = CrawlConfig(
+        fetch_backend="http",
+        epoch_budget=2,
+        max_epochs=30,
+        depth_limit=8,
+        queue_order="fifo",
+        robotstxt_obey=False,
+        download_timeout_s=10.0,
+        domain_page_budget=3,
+        deny_url_patterns=(r"/img/", r"/blocked/"),
+    )
+    store = MemoryStore(spark)
+    eng = _bare_engine(spark, cfg, store)
+    eng.bootstrap(
+        pd.DataFrame({"url": [f"{site}/p/0"], "priority": [0]}),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}),
+    )
+    stats = eng.run()
+    total_popped = sum(s.popped for s in stats)
+    # seed epoch pops 1, next epoch pops 2 (cumulative 3 = budget),
+    # third epoch sees the exhausted slot and drops the rest — never
+    # the full 12-page tree
+    assert total_popped == 3
+    assert stats[-1].queued_after == 0  # terminated, not starved
+    m = store.read("metrics").toPandas()
+    agg = m[m.partition_id == -1].groupby("key")["value"].sum().to_dict()
+    assert agg.get("domain_budget/dropped", 0) > 0
+    # the drops are visible in the conservation stats as denied rows
+    assert sum(s.denied for s in stats) == agg["domain_budget/dropped"]
+
+
 @pytest.mark.parametrize("fail_on_dataloss", [True, False])
 def test_engine_http_dataloss_semantics(spark, site, fail_on_dataloss):
     """DOWNLOAD_FAIL_ON_DATALOSS: a maxsize-truncated body retries like a

@@ -116,3 +116,50 @@ def test_corpus_mix_ground_truth(spark):
     assert out["s2"].tok_ppm == 400000 and out["s2"].rank == 2
     assert out["s3"].tok_ppm == 100000 and out["s3"].rank == 3
     assert (out["s1"].cum_tokens, out["s2"].cum_tokens, out["s3"].cum_tokens) == (5, 9, 10)
+
+
+def test_script_mix_multilingual_and_cross_engine(spark):
+    """script_mix on real non-ASCII text (the sf fixtures are ASCII, so
+    the driver oracle alone never exercises the ranges): counts, the
+    dominant pick, and — the load-bearing half — DuckDB replaying the
+    generated oracle SQL over the SAME multilingual rows must agree
+    value-for-value, proving the \\x{..} range classes mean the same
+    thing under Java regex and RE2."""
+    import duckdb
+
+    from scrapy_spark.datapipe.text import script_mix
+    from __spark_entry__ import _script_mix_oracle_sql
+
+    rows = [
+        (1, "Hello world 123"),
+        (2, "Привет мир hello"),
+        (3, "日本語のテキストです"),
+        (4, "مرحبا بالعالم"),
+        (5, "Ελληνικά και λατινικά mixed"),
+        (6, "한국어 텍스트 and देवनागरी"),
+        (7, ""),
+    ]
+    out = {r.doc_id: r for r in script_mix(_docs(spark, rows)).collect()}
+    assert out[1].dominant_script == "latin" and out[1].digit == 3
+    assert out[2].dominant_script == "cyrillic" and out[2].latin == 5
+    assert out[3].dominant_script == "kana" and out[3].cjk == 3
+    assert out[4].dominant_script == "arabic"
+    assert out[5].dominant_script == "greek"
+    assert out[6].hangul > 0 and out[6].devanagari > 0
+    assert out[7].n_chars == 0  # all-zero tie → alphabetically first
+    assert out[7].dominant_script == "arabic"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS v(doc_id, text)"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(_script_mix_oracle_sql()).fetchall()
+    }
+    cols = script_mix(_docs(spark, rows)).columns
+    for i, _ in rows:
+        spark_row = tuple(out[i][c] for c in cols)
+        assert spark_row == oracle[i], (i, spark_row, oracle[i])

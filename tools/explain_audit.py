@@ -196,6 +196,21 @@ def main() -> int:
             ["HashAggregate"],
             list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
         ),
+        # script_mix: map-only regexp counting — no shuffle before the
+        # final project, zero Python evals
+        (
+            "script_mix",
+            [],
+            list(BAD_EVERYWHERE)
+            + ["ArrowEvalPython", "BatchEvalPython", "Exchange hashpartitioning"],
+        ),
+        # span removal: same two-shuffle shape as the stats half, plus
+        # per-doc JVM array algebra — still zero Python evals
+        (
+            "dedup_span_removal",
+            ["HashAggregate"],
+            list(BAD_EVERYWHERE) + ["ArrowEvalPython", "BatchEvalPython"],
+        ),
         (
             "text_top_terms",
             ["BroadcastHashJoin"],
