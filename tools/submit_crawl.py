@@ -71,6 +71,19 @@ def main() -> None:
         help="recrawl policy: expire url_seen rows N epochs after "
         "insertion so URLs re-enter the frontier (0 = never)",
     )
+    ap.add_argument(
+        "--domain-page-budget",
+        type=int,
+        default=0,
+        help="hot-host cap: drop a slot's remaining frontier rows once "
+        "its cumulative pops reach this (0 = off)",
+    )
+    ap.add_argument(
+        "--no-metarefresh",
+        action="store_true",
+        help="http backend: disable following <meta http-equiv=refresh> "
+        "redirects (METAREFRESH_ENABLED=False)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -117,6 +130,8 @@ def main() -> None:
             queue_order="fifo",
             seen_filter=args.seen_filter,
             seen_ttl_epochs=args.seen_ttl_epochs,
+            domain_page_budget=args.domain_page_budget,
+            metarefresh_enabled=not args.no_metarefresh,
         )
         seeds = pd.read_csv(args.seeds_csv)
         if "priority" not in seeds.columns:
@@ -146,6 +161,7 @@ def main() -> None:
             queue_order="fifo",
             seen_filter=args.seen_filter,
             seen_ttl_epochs=args.seen_ttl_epochs,
+            domain_page_budget=args.domain_page_budget,
         )
         fix = gen_crawl_fixture(args.scale, seed=args.seed, with_payload=False)
         eng = CrawlEngine.from_fixture(spark, cfg, store, fix)
