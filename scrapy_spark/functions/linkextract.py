@@ -484,7 +484,10 @@ def meta_refresh_target(
     un-quoted, and common HTML entities in it are decoded. The returned
     URL may be relative — resolve it against the request URL exactly
     like a Location header (netfetch ``_urljoin_udf``)."""
-    col = html
+    # comments are stripped BEFORE matching, like w3lib's
+    # remove_comments() — a commented-out refresh is not a redirect
+    # (unterminated comments blank to end-of-document, as w3lib does)
+    col = F.regexp_replace(html, "(?s)<!--.*?(?:-->|$)", " ")
     for tag in ignore_tags:
         col = _strip_tag_spans(col, tag)
     tag_expr = F.regexp_extract(
@@ -501,8 +504,9 @@ def meta_refresh_target(
         ("&#39;", "'"), ("&#x27;", "'"), ("&amp;", "&"),
     ):
         content = F.replace(content, F.lit(ent), F.lit(ch))
+    # w3lib's interval pattern is (\d*\.)?\d+ — bare fractions count
     delay = nz(
-        F.regexp_extract(content, "^\\s*(\\d+(?:\\.\\d+)?)\\s*(?:;|$)", 1)
+        F.regexp_extract(content, "^\\s*((?:\\d*\\.)?\\d+)\\s*(?:;|$)", 1)
     ).cast("double")
     url = nz(
         F.trim(

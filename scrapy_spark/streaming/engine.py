@@ -555,15 +555,17 @@ class CrawlEngine:
         # per-epoch concurrency cap — the precise-counter alternative
         # would serialize pop on a per-slot running total.
         budget_dropped = None
+        slot_pops_prev = None
         if cfg.domain_page_budget > 0:
-            plog = self.store.read("pop_log")
-            if plog is not None:
-                exhausted = (
-                    plog.groupBy("slot")
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .filter(F.col("__n") >= cfg.domain_page_budget)
-                    .select("slot")
-                )
+            # cumulative per-slot pop counts ride a tiny replace-table
+            # (one row per ever-popped slot, O(slots) per epoch) — an
+            # earlier cut re-aggregated the whole pop_log delta chain
+            # every epoch, O(total pops so far), quadratic over a crawl
+            slot_pops_prev = self.store.read("slot_pops")
+            if slot_pops_prev is not None:
+                exhausted = slot_pops_prev.filter(
+                    F.col("n_pops") >= cfg.domain_page_budget
+                ).select("slot")
                 budget_dropped = (
                     allowed.join(F.broadcast(exhausted), "slot", "left_semi")
                     .select("seq", "fp")
@@ -776,8 +778,11 @@ class CrawlEngine:
         # never reach the middlewares upstream, so they are excluded.
         hop = F.when(
             # redirect suppression is the one downloader-mw early-out
-            # handle_httpstatus has (redirect.py ≈L45)
-            is_redirect & ~handled,
+            # handle_httpstatus has (redirect.py ≈L45); dataloss excluded
+            # on BOTH branches — upstream raises in the downloader before
+            # any middleware, so a truncated 30x retries instead of
+            # following its Location
+            is_redirect & ~handled & ~dataloss,
             F.col("redirect_to"),
         )
         if has_metarefresh:
@@ -1363,6 +1368,16 @@ class CrawlEngine:
         pop_log = popped.select(
             F.lit(e).alias("epoch"), "rank", "fp", "url_canon", "slot"
         )
+        slot_pops_next = None
+        if cfg.domain_page_budget > 0:
+            epoch_counts = popped.groupBy("slot").agg(
+                F.count(F.lit(1)).cast("long").alias("n_pops")
+            )
+            slot_pops_next = (
+                slot_pops_prev.unionByName(epoch_counts)
+                if slot_pops_prev is not None
+                else epoch_counts
+            ).groupBy("slot").agg(F.sum("n_pops").alias("n_pops"))
         fetch_log = fetched.select(
             "fp",
             "url_canon",
@@ -1485,7 +1500,10 @@ class CrawlEngine:
         if robots_fetched_df is not None:
             appends["robots_http"] = robots_fetched_df
         if n_ok:
-            appends["items"] = _sized_delta(items, n_ok)
+            # NOT row-count-sized: ITEMS rows carry raw payload bytes, so
+            # 500k rows/partition would funnel GBs through one write task
+            # (same reason http_cache above stays unsized)
+            appends["items"] = items
         if n_fresh:
             appends["url_seen"] = _sized_delta(seen_append, n_fresh)
         if mrows:
@@ -1501,7 +1519,14 @@ class CrawlEngine:
             delete_keys = delete_keys.unionByName(budget_dropped.select("seq"))
         self.store.commit(
             e,
-            replace={"domain_state": dom_next},
+            replace={
+                "domain_state": dom_next,
+                **(
+                    {"slot_pops": slot_pops_next}
+                    if slot_pops_next is not None
+                    else {}
+                ),
+            },
             append=appends,
             scalars=scalars,
             mutate={"frontier": ("seq", delete_keys, _sized_delta(new_rows, n_new))},

@@ -44,6 +44,20 @@ class _Site(http.server.BaseHTTPRequestHandler):
             self.send_header("Content-Length", "0")
             self.end_headers()
             return
+        if self.path.startswith("/rbig/"):
+            # <code> redirect whose BODY exceeds the test's
+            # download_maxsize: with fail_on_dataloss the truncation is a
+            # download failure upstream (raised before any middleware),
+            # so the Location must NOT be followed
+            _, _, code, i = self.path.split("/")
+            body = b"B" * 4096
+            self.send_response(int(code))
+            self.send_header("Location", f"/p/{i}")
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if self.path.startswith("/mr/"):
             # 200 HTML with an instant meta refresh: the page is REPLACED
             # by the redirect upstream, so its anchor must never be
@@ -388,6 +402,51 @@ def _bare_engine(spark, cfg, store):
         graph=spark.createDataFrame([], "src_canon string, dst_url string"),
         robots=spark.createDataFrame([], "domain string, rules string"),
     )
+
+
+@pytest.mark.parametrize("fail_on_dataloss", [True, False])
+def test_engine_redirect_with_dataloss_body(spark, site, fail_on_dataloss):
+    """A 301 whose body exceeds download_maxsize: with
+    DOWNLOAD_FAIL_ON_DATALOSS (default) upstream raises in the
+    downloader BEFORE RedirectMiddleware — the Location is never
+    followed and the request retries; with the flag off the truncated
+    response reaches the middlewares and the redirect IS followed."""
+    import pandas as pd
+
+    cfg = CrawlConfig(
+        fetch_backend="http",
+        epoch_budget=8,
+        max_epochs=10,
+        depth_limit=1,
+        queue_order="fifo",
+        robotstxt_obey=False,
+        retry_times=1,
+        download_timeout_s=10.0,
+        download_maxsize=1024,
+        download_fail_on_dataloss=fail_on_dataloss,
+        deny_url_patterns=(r"/img/", r"/blocked/", r"/p/"),
+    )
+    store = MemoryStore(spark)
+    eng = _bare_engine(spark, cfg, store)
+    eng.bootstrap(
+        pd.DataFrame({"url": [f"{site}/rbig/301/0"], "priority": [0]}),
+        pd.DataFrame({"slot": ["127.0.0.1"], "delay_ms": [0], "concurrency": [8]}),
+    )
+    eng.run()
+    log = store.read("fetch_log").toPandas()
+    fetched = {u.split(":", 2)[-1].split("/", 1)[1] for u in log.url_canon}
+    m = store.read("metrics").toPandas()
+    agg = m[m.partition_id == -1].groupby("key")["value"].sum().to_dict()
+    if fail_on_dataloss:
+        # dataloss wins: retried then failed, Location never followed
+        assert "p/0" not in fetched
+        assert agg.get("retry/count", 0) == 1
+        assert agg.get("redirect/count", 0) == 0
+    else:
+        # truncated response passes through → redirect followed; the
+        # /p/0 child then dies on the deny filter, so only the hop counts
+        assert agg.get("redirect/count", 0) == 1
+        assert agg.get("retry/count", 0) == 0
 
 
 def test_engine_closespider_errorcount(spark, site):

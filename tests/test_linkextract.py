@@ -342,6 +342,11 @@ def test_meta_refresh_target_matrix(spark):
         ('<noscript><meta http-equiv="refresh" content="0;url=/ns"></noscript>', None),
         ('<meta http-equiv="refresh" content="1;url=\'/q?a=1&amp;b=2\'">', "/q?a=1&b=2"),
         ('<meta name="x" content="y"><meta http-equiv="refresh" content="0;url=/second">', "/second"),
+        # w3lib strips comments BEFORE matching: a commented-out refresh
+        # must not be followed (the real page wins)
+        ('<!-- <meta http-equiv="refresh" content="0;url=/old"> --><p>live</p>', None),
+        # w3lib's interval regex is (\d*\.)?\d+ — bare fractions count
+        ('<meta http-equiv="refresh" content=".5; url=/frac">', "/frac"),
         ("plain text", None),
         (None, None),
     ]
